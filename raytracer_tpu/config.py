@@ -1,0 +1,57 @@
+"""Render configuration.
+
+The reference hardcodes all of these as compile-time constants:
+resolution/FOV/aperture (EntryPoint.cu:16-20), spp modes
+(Core/Camera.cuh:11,64), bounce limits + Russian roulette
+(CUDAKernels.h:106-108). Here they live in one frozen dataclass whose
+fields are static under jit; `PRESETS` mirrors the five BASELINE.json
+milestone configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 2560
+    height: int = 1440
+    spp: int = 2000                # HQ mode, Core/Camera.cuh:64
+    max_bounces: int = 20          # CUDAKernels.h:106
+    min_bounces: int = 3           # RR start, CUDAKernels.h:107
+    rr_max_prob: float = 0.95      # CUDAKernels.h:108
+    t_min: float = 0.001           # CUDAKernels.h:123
+    fov_degrees: float = 80.0      # EntryPoint.cu:19
+    aperture: float = 1e-6         # EntryPoint.cu:20
+    # Parity quirk toggle: the reference returns emitted light
+    # *unattenuated* by path throughput (CUDAKernels.h:133-134).
+    # True reproduces that; False applies physically-correct attenuation.
+    reference_emission_quirk: bool = True
+    # Rays processed per device invocation; images bigger than this are
+    # rendered in chunks to bound live wavefront memory (SURVEY.md §7).
+    max_rays_per_pass: int = 1 << 20
+    # spp per inner accumulation pass (bounds peak memory for huge spp).
+    spp_per_pass: int = 64
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self.width / self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The five milestone configurations from BASELINE.json.
+PRESETS = {
+    # (1) Cornell with analytic spheres only — CPU-runnable golden config.
+    "cornell_spheres_256": RenderConfig(width=256, height=256, spp=16, max_bounces=4),
+    # (2) Cornell triangles + all four material types.
+    "cornell_materials_512": RenderConfig(width=512, height=512, spp=64, max_bounces=8),
+    # (3) bunny mesh with LBVH at 1080p.
+    "bunny_1080p": RenderConfig(width=1920, height=1080, spp=256, max_bounces=20),
+    # (4) inverse-rendering config (small for optimization loops).
+    "inverse_render": RenderConfig(width=128, height=128, spp=32, max_bounces=6),
+    # (5) the full reference workload (README.md:11 "high quality" mode).
+    "reference_2k": RenderConfig(width=2560, height=1440, spp=2000, max_bounces=20),
+}

@@ -1,0 +1,152 @@
+"""Differentiable inverse rendering (BASELINE config[3]).
+
+The reference has no differentiability at all — this is a capability the
+TPU build adds per the BASELINE north star: pixel gradients w.r.t.
+material albedo / roughness / IOR / emission and camera params flow
+through the integrator (detached traversal, reparameterized sampling —
+see ops/intersect.py and ops/materials.py), enabling recovery of scene
+materials from a target image by gradient descent.
+
+`make_train_step` builds a jitted (optionally mesh-sharded) Adam step:
+the pixel axis is sharded with `shard_map`, the loss/grads of the shared
+material parameters are `psum`-all-reduced over ICI — the reference has
+no analog (single GPU, no collectives; SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from raytracer_tpu.camera import Camera
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.render import render_pixels
+from raytracer_tpu.scene.types import Materials, Scene
+
+DEFAULT_FIELDS = ("albedo", "roughness", "emission")
+
+
+class AdamState(NamedTuple):
+    step: jnp.ndarray
+    mu: dict
+    nu: dict
+
+
+def _apply_params(scene: Scene, params: dict) -> Scene:
+    mats = scene.materials
+    kw = {f: mats.__dict__[f] for f in ("type", "albedo", "emission", "roughness", "ior")}
+    for name, val in params.items():
+        if name in ("albedo",):
+            val = jnp.clip(val, 0.0, 1.0)
+        if name in ("roughness",):
+            val = jnp.clip(val, 0.0, 1.0)
+        if name in ("emission",):
+            val = jnp.maximum(val, 0.0)
+        if name in ("ior",):
+            val = jnp.clip(val, 1.0, 3.0)
+        kw[name] = val
+    return scene.replace(materials=Materials(**kw))
+
+
+def init_params(scene: Scene, fields=DEFAULT_FIELDS, key=None, noise: float = 0.0) -> dict:
+    params = {f: scene.materials.__dict__[f] for f in fields}
+    if key is not None and noise > 0.0:
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(key, len(leaves))
+        leaves = [l + noise * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+    return params
+
+
+def adam_init(params: dict) -> AdamState:
+    z = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return AdamState(step=jnp.zeros((), jnp.int32), mu=z, nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+
+def adam_update(state: AdamState, grads: dict, params: dict, lr=2e-2, b1=0.9, b2=0.999, eps=1e-8):
+    step = state.step + 1
+    mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+    nu = jax.tree_util.tree_map(lambda n, g: b2 * n + (1 - b2) * g * g, state.nu, grads)
+    t = step.astype(jnp.float32)
+    mhat = jax.tree_util.tree_map(lambda m: m / (1 - b1**t), mu)
+    nhat = jax.tree_util.tree_map(lambda n: n / (1 - b2**t), nu)
+    new_params = jax.tree_util.tree_map(
+        lambda p, m, n: p - lr * m / (jnp.sqrt(n) + eps), params, mhat, nhat
+    )
+    return AdamState(step=step, mu=mu, nu=nu), new_params
+
+
+def make_train_step(
+    base_scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    target: jnp.ndarray,  # f32[H,W,3] linear target image
+    mesh=None,
+    lr: float = 2e-2,
+):
+    """Returns (train_step, init_state). train_step(params, adam_state,
+    key) → (params, adam_state, loss). If `mesh` is given, pixels are
+    sharded over its 'rays' axis and grads are psum-reduced."""
+    import numpy as np
+
+    h, w = cfg.height, cfg.width
+    xs = np.tile(np.arange(w, dtype=np.int32), h)
+    ys = np.repeat(np.arange(h - 1, -1, -1, dtype=np.int32), w)
+    target_flat = target.reshape(-1, 3)
+
+    def local_loss(params, key, px, py, tgt):
+        scene = _apply_params(base_scene, params)
+        rgb = render_pixels(scene, cam, px, py, cfg, key)
+        return jnp.mean((rgb - tgt) ** 2)
+
+    if mesh is None:
+        px, py = jnp.asarray(xs), jnp.asarray(ys)
+        tgt = jnp.asarray(target_flat)
+
+        @jax.jit
+        def train_step(params, adam_state, key):
+            loss, grads = jax.value_and_grad(local_loss)(params, key, px, py, tgt)
+            adam_state, params = adam_update(adam_state, grads, params, lr=lr)
+            return params, adam_state, loss
+
+        return train_step
+
+    # Sharded variant: pixels split over the mesh; parameter grads psum'd.
+    axis = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+    n = len(xs)
+    pad = (-n) % n_shards
+    px = jnp.asarray(np.concatenate([xs, np.zeros(pad, np.int32)]))
+    py = jnp.asarray(np.concatenate([ys, np.zeros(pad, np.int32)]))
+    tgt = jnp.asarray(
+        np.concatenate([target_flat, np.zeros((pad, 3), np.float32)]) if pad else target_flat
+    )
+
+    def sharded_grads(params, key, px, py, tgt):
+        def shard_fn(params, key, px, py, tgt):
+            # RNG is pixel-keyed; no per-shard decorrelation needed.
+            loss, grads = jax.value_and_grad(local_loss)(params, key, px, py, tgt)
+            # All-reduce over ICI: shared params, sharded pixels.
+            grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
+            return jax.lax.pmean(loss, axis), grads
+
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, key, px, py, tgt)
+
+    @jax.jit
+    def train_step(params, adam_state, key):
+        loss, grads = sharded_grads(params, key, px, py, tgt)
+        adam_state, params = adam_update(adam_state, grads, params, lr=lr)
+        return params, adam_state, loss
+
+    return train_step

@@ -1,0 +1,88 @@
+"""Masked megakernel integrator — the correctness oracle and default path.
+
+This is the TPU-native restatement of the reference's per-thread
+`rayColor` loop (CUDAKernels.h:102-145): instead of one divergent CUDA
+thread per pixel, the whole ray wavefront advances through a static
+`lax.fori_loop` over bounces with per-lane alive masks. Dead lanes ride
+along masked — on a VPU this wastes lanes late in the path (the wavefront
+integrator in models/wavefront.py compacts them) but is branch-free,
+fully fused by XLA, and reverse-differentiable (fori_loop with a static
+trip count lowers to scan).
+
+Exact reference semantics reproduced (SURVEY.md §6.2):
+  * Russian roulette from bounce 3: survival = min(max RGB of
+    throughput, 0.95), survivors divided by survival (CUDAKernels.h:113-121).
+  * Emitters return emission *unattenuated* (CUDAKernels.h:133-134) when
+    cfg.reference_emission_quirk is True.
+  * Paths exhausting max_bounces contribute black (CUDAKernels.h:105).
+  * Miss adds throughput × sky gradient (CUDAKernels.h:137-142).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.ops import intersect as isect
+from raytracer_tpu.ops import materials as mat_ops
+from raytracer_tpu.ops import tonemap
+from raytracer_tpu.scene.types import Scene
+from raytracer_tpu.utils import rng as rngu
+
+
+def trace_paths(
+    scene: Scene,
+    origins: jnp.ndarray,  # f32[N,3]
+    dirs: jnp.ndarray,     # f32[N,3]
+    keys: jax.Array,       # per-lane (pixel,sample) key array [N]
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Path-traced radiance f32[N,3] for one sample per ray."""
+    n = origins.shape[0]
+
+    def bounce_body(bounce, state):
+        origins, dirs, throughput, radiance, alive = state
+        kb = rngu.fold(keys, bounce)
+
+        # Russian roulette (CUDAKernels.h:113-121).
+        do_rr = bounce >= cfg.min_bounces
+        survival = jnp.minimum(jnp.max(throughput, axis=-1), cfg.rr_max_prob)
+        u_rr = rngu.uniform(kb, rngu.P_RR)
+        rr_kill = do_rr & (u_rr > survival)
+        alive = alive & ~rr_kill
+        rr_scale = jnp.where(do_rr & alive, 1.0 / jnp.maximum(survival, 1e-12), 1.0)
+        throughput = throughput * rr_scale[:, None]
+
+        ids = isect.intersect_scene(scene, origins, dirs, cfg.t_min)
+        attrs = isect.shade_hit(scene, origins, dirs, ids)
+        sc = mat_ops.scatter(kb, dirs, attrs.normal, attrs.front_face, attrs.mat_id, scene.materials)
+
+        hit = ids.hit & alive
+        light_hit = hit & sc.is_light
+        if cfg.reference_emission_quirk:
+            emitted = sc.emission
+        else:
+            emitted = throughput * sc.emission
+        radiance = jnp.where(light_hit[:, None], emitted, radiance)
+
+        miss = alive & ~ids.hit
+        radiance = jnp.where(miss[:, None], throughput * tonemap.sky_color(dirs), radiance)
+
+        cont = hit & sc.scattered
+        throughput = jnp.where(cont[:, None], throughput * sc.attenuation, throughput)
+        origins = jnp.where(cont[:, None], attrs.point, origins)
+        dirs = jnp.where(cont[:, None], sc.direction, dirs)
+        alive = cont
+        return origins, dirs, throughput, radiance, alive
+
+    state = (
+        origins,
+        dirs,
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n,), bool),
+    )
+    body = jax.checkpoint(bounce_body) if cfg.max_bounces > 8 else bounce_body
+    *_, radiance, _ = jax.lax.fori_loop(0, cfg.max_bounces, body, state, unroll=False)
+    return radiance

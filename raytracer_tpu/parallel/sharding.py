@@ -1,0 +1,94 @@
+"""Multi-chip scaling via `shard_map` over a device mesh.
+
+The reference is strictly single-GPU/single-process (SURVEY.md §2.2: no
+NCCL/MPI/sockets anywhere; its only "transport" is PCIe cudaMemcpy).
+The TPU framework scales natively:
+
+  * forward rendering shards the RAY/PIXEL axis across the mesh — tiles
+    are independent, so the forward pass needs ZERO cross-chip
+    collectives; scene/camera params are replicated at setup (the analog
+    of the reference's one-time H2D scene upload, SceneManager.h:151-166),
+  * the backward pass of the shared scene/material/camera parameters
+    all-reduces gradients with `psum` over ICI (BASELINE north star),
+  * multi-host entry uses `jax.distributed.initialize` + the same mesh.
+
+Tested on a virtual 8-device CPU mesh (tests/conftest.py) and dry-run
+compiled by __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from raytracer_tpu.camera import Camera
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.render import render_pixels
+from raytracer_tpu.scene.types import Scene
+
+RAY_AXIS = "rays"
+
+
+def make_mesh(devices=None, axis_name: str = RAY_AXIS) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(devices, (axis_name,))
+
+
+def _padded_pixel_grid(cfg: RenderConfig, n_shards: int):
+    """Full-image pixel ids (row 0 = top), padded to a multiple of the
+    shard count. Padding pixels recompute pixel (0,0); they are sliced
+    off after the gather."""
+    import numpy as np
+
+    n = cfg.width * cfg.height
+    pad = (-n) % n_shards
+    xs = np.tile(np.arange(cfg.width, dtype=np.int32), cfg.height)
+    ys = np.repeat(np.arange(cfg.height - 1, -1, -1, dtype=np.int32), cfg.width)
+    px = np.concatenate([xs, np.zeros(pad, np.int32)])
+    py = np.concatenate([ys, np.zeros(pad, np.int32)])
+    return jnp.asarray(px), jnp.asarray(py), n
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "spp"))
+def _render_sharded(scene, cam, px, py, cfg, key, mesh, spp):
+    def local_render(scene, cam, px, py, key):
+        # RNG is pixel-keyed (utils/rng.py), so shards need no
+        # decorrelation — the sharded render is bit-identical to the
+        # single-device render (tested in tests/test_sharding.py).
+        return render_pixels(scene, cam, px, py, cfg, key, spp=spp)
+
+    return shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )(scene, cam, px, py, key)
+
+
+def render_image_sharded(
+    scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    key: jax.Array,
+    mesh: Mesh | None = None,
+    spp: int | None = None,
+) -> jnp.ndarray:
+    """Full-image render with the pixel axis sharded over the mesh.
+    Forward is collective-free; each device renders its pixel block."""
+    mesh = make_mesh() if mesh is None else mesh
+    n_shards = mesh.devices.size
+    px, py, n = _padded_pixel_grid(cfg, n_shards)
+    rgb = _render_sharded(scene, cam, px, py, cfg, key, mesh, spp or cfg.spp)
+    return rgb[:n].reshape(cfg.height, cfg.width, 3)
+
+
+def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
+    """Place scene params replicated on every device (the analog of the
+    reference's scene upload; here it is an explicit sharding)."""
+    spec = NamedSharding(mesh, P())
+    return jax.device_put(scene, spec)

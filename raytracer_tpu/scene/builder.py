@@ -1,0 +1,140 @@
+"""Scene builders for the milestone configs and the reference world.
+
+The reference hardcodes its world inside the `createRandomWorld` device
+kernel (CUDAKernels.h:56-84): loaded meshes + a ground sphere
+(Lambertian 0.5, center (0,-1000,0), r=999) + a mirror sphere
+(Metal (0.7,0.6,0.5) roughness 0, center (0.2,0.2,0), r=0.05). Here
+scenes are plain host-side constructors returning SoA pytrees.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.scene.types import (
+    DIELECTRIC,
+    DIFFUSE_LIGHT,
+    LAMBERTIAN,
+    METAL,
+    Materials,
+    Scene,
+    Spheres,
+    TriMesh,
+)
+
+# The reference's hardcoded extras (CUDAKernels.h:69-73).
+GROUND_SPHERE = dict(center=(0.0, -1000.0, 0.0), radius=999.0, albedo=(0.5, 0.5, 0.5))
+MIRROR_SPHERE = dict(center=(0.2, 0.2, 0.0), radius=0.05, albedo=(0.7, 0.6, 0.5))
+
+
+def cornell_spheres_scene() -> Scene:
+    """BASELINE config[0]: Cornell-style lighting with analytic spheres
+    only (no mesh/BVH) — exercises all four material types and is small
+    enough for the CPU oracle."""
+    mats = Materials.from_lists(
+        types=[LAMBERTIAN, METAL, LAMBERTIAN, LAMBERTIAN, DIELECTRIC, DIFFUSE_LIGHT, METAL],
+        albedos=[
+            GROUND_SPHERE["albedo"],  # 0 ground
+            MIRROR_SPHERE["albedo"],  # 1 mirror (rough 0)
+            (0.65, 0.05, 0.05),       # 2 red diffuse
+            (0.12, 0.45, 0.15),       # 3 green diffuse
+            (1.0, 1.0, 1.0),          # 4 glass
+            (0.0, 0.0, 0.0),          # 5 light
+            (0.8, 0.85, 0.88),        # 6 rough metal
+        ],
+        emissions=[(0, 0, 0)] * 5 + [(15.0, 15.0, 15.0), (0, 0, 0)],
+        roughnesses=[0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.3],
+        iors=[1.0, 1.0, 1.0, 1.0, 1.5, 1.0, 1.0],
+    )
+    spheres = Spheres.from_lists(
+        centers=[
+            GROUND_SPHERE["center"],
+            MIRROR_SPHERE["center"],
+            (-0.45, 0.2, -0.3),
+            (0.45, 0.15, 0.35),
+            (0.0, 0.22, 0.3),
+            (0.0, 1.4, 0.0),
+            (-0.2, 0.12, 0.55),
+        ],
+        radii=[GROUND_SPHERE["radius"], MIRROR_SPHERE["radius"], 0.2, 0.15, 0.22, 0.45, 0.12],
+        mat_ids=[0, 1, 2, 3, 4, 5, 6],
+    )
+    return Scene(materials=mats, spheres=spheres, mesh=TriMesh.empty(), name="cornell_spheres")
+
+
+def add_reference_extras(
+    mesh: TriMesh, materials: Materials, name: str = "scene"
+) -> Scene:
+    """Wrap a loaded mesh + its material table into the reference world:
+    append the hardcoded ground and mirror spheres (CUDAKernels.h:69-73)
+    after the OBJ materials, exactly like createRandomWorld's
+    addMaterial ordering."""
+    m = materials.count
+    mats = Materials(
+        type=jnp.concatenate([materials.type, jnp.asarray([LAMBERTIAN, METAL], jnp.int32)]),
+        albedo=jnp.concatenate(
+            [
+                materials.albedo,
+                jnp.asarray([GROUND_SPHERE["albedo"], MIRROR_SPHERE["albedo"]], jnp.float32),
+            ]
+        ),
+        emission=jnp.concatenate([materials.emission, jnp.zeros((2, 3), jnp.float32)]),
+        roughness=jnp.concatenate([materials.roughness, jnp.zeros((2,), jnp.float32)]),
+        ior=jnp.concatenate([materials.ior, jnp.ones((2,), jnp.float32)]),
+    )
+    spheres = Spheres.from_lists(
+        centers=[GROUND_SPHERE["center"], MIRROR_SPHERE["center"]],
+        radii=[GROUND_SPHERE["radius"], MIRROR_SPHERE["radius"]],
+        mat_ids=[m, m + 1],
+    )
+    return Scene(materials=mats, spheres=spheres, mesh=mesh, name=name)
+
+
+def reference_scene(assets_dir: str = "assets/models", with_bunny: bool = True,
+                    build_bvh: bool = True) -> Scene:
+    """The full reference world (SceneManager.h:101-103 +
+    CUDAKernels.h:56-84): CornellBox-Original.obj (+ bunny), jointly
+    normalized, plus the hardcoded ground and mirror spheres. Assets are
+    procedurally generated if missing (the reference gitignores them)."""
+    from raytracer_tpu.scene.assets import ensure_assets
+    from raytracer_tpu.scene.obj_io import load_scene_objs
+
+    paths = ensure_assets(assets_dir)
+    files = [paths["cornell"]] + ([paths["bunny"]] if with_bunny else [])
+    mesh, materials = load_scene_objs(files)
+    scene = add_reference_extras(mesh, materials,
+                                 name="cornell_bunny" if with_bunny else "cornell")
+    if build_bvh:
+        from raytracer_tpu.ops.bvh import build_lbvh
+
+        scene = scene.replace(bvh=build_lbvh(mesh))
+    return scene
+
+
+def cornell_materials_scene(assets_dir: str = "assets/models") -> Scene:
+    """BASELINE config[1]: Cornell triangles + all four material types —
+    the Cornell box with a glass sphere and a rough-metal sphere placed
+    inside (our showcase variant; the reference's own 512² config)."""
+    from raytracer_tpu.scene.assets import ensure_assets
+    from raytracer_tpu.scene.obj_io import load_scene_objs
+
+    paths = ensure_assets(assets_dir)
+    mesh, materials = load_scene_objs([paths["cornell"]])
+    base = add_reference_extras(mesh, materials, name="cornell_materials")
+    m = base.materials
+    mats = Materials(
+        type=jnp.concatenate([m.type, jnp.asarray([DIELECTRIC, METAL], jnp.int32)]),
+        albedo=jnp.concatenate([m.albedo, jnp.asarray([(1.0, 1.0, 1.0), (0.8, 0.7, 0.4)], jnp.float32)]),
+        emission=jnp.concatenate([m.emission, jnp.zeros((2, 3), jnp.float32)]),
+        roughness=jnp.concatenate([m.roughness, jnp.asarray([0.0, 0.25], jnp.float32)]),
+        ior=jnp.concatenate([m.ior, jnp.asarray([1.5, 1.0], jnp.float32)]),
+    )
+    s = base.spheres
+    mcount = m.count
+    spheres = Spheres(
+        center=jnp.concatenate([s.center, jnp.asarray([(-0.08, -0.21, 0.05), (0.1, -0.23, 0.12)], jnp.float32)]),
+        radius=jnp.concatenate([s.radius, jnp.asarray([0.09, 0.07], jnp.float32)]),
+        mat_id=jnp.concatenate([s.mat_id, jnp.asarray([mcount, mcount + 1], jnp.int32)]),
+    )
+    return Scene(materials=mats, spheres=spheres, mesh=base.mesh, name="cornell_materials")

@@ -1,0 +1,82 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md §4.4):
+sharded render must equal the single-device render bit-for-bit, and the
+sharded train step must produce finite psum'd gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.camera import make_camera
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.diff import inverse
+from raytracer_tpu.parallel.sharding import make_mesh, render_image_sharded
+from raytracer_tpu.render import render_image, render_image_chunked
+from raytracer_tpu.scene.builder import cornell_spheres_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_spheres_scene()
+
+
+def _cam(cfg):
+    return make_camera(aspect_ratio=cfg.width / cfg.height, fov_degrees=cfg.fov_degrees,
+                       aperture=cfg.aperture)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+    assert jax.devices()[0].platform == "cpu"
+
+
+def test_sharded_render_bitwise_equal(scene):
+    cfg = RenderConfig(width=16, height=16, spp=4, max_bounces=4)
+    key = jax.random.key(123)
+    single = np.asarray(render_image(scene, _cam(cfg), cfg, key))
+    sharded = np.asarray(render_image_sharded(scene, _cam(cfg), cfg, key, mesh=make_mesh()))
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_chunked_render_bitwise_equal(scene):
+    cfg = RenderConfig(width=16, height=16, spp=8, max_bounces=4,
+                       max_rays_per_pass=16 * 4, spp_per_pass=4)
+    key = jax.random.key(7)
+    whole = np.asarray(render_image(scene, _cam(cfg), cfg, key))
+    chunked = np.asarray(render_image_chunked(scene, _cam(cfg), cfg, key))
+    # Chunked spp accumulation reorders the mean; allclose at fp32 noise.
+    np.testing.assert_allclose(whole, chunked, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_train_step_matches_unsharded(scene):
+    cfg = RenderConfig(width=16, height=8, spp=2, max_bounces=3)
+    cam = _cam(cfg)
+    target = render_image(scene, cam, cfg, jax.random.key(99))
+
+    params = inverse.init_params(scene, key=jax.random.key(1), noise=0.1)
+    state = inverse.adam_init(params)
+
+    step_1d = inverse.make_train_step(scene, cam, cfg, target, mesh=None)
+    step_8d = inverse.make_train_step(scene, cam, cfg, target, mesh=make_mesh())
+
+    p1, s1, l1 = step_1d(params, state, jax.random.key(5))
+    p8, s8, l8 = step_8d(params, state, jax.random.key(5))
+
+    assert np.isfinite(float(l1)) and np.isfinite(float(l8))
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p8[k]), atol=1e-6)
+
+
+def test_training_reduces_loss(scene):
+    cfg = RenderConfig(width=16, height=8, spp=4, max_bounces=3)
+    cam = _cam(cfg)
+    target = render_image(scene, cam, cfg, jax.random.key(0))
+    params = inverse.init_params(scene, fields=("albedo",), key=jax.random.key(2), noise=0.15)
+    state = inverse.adam_init(params)
+    step = inverse.make_train_step(scene, cam, cfg, target, mesh=make_mesh(), lr=0.05)
+    losses = []
+    for i in range(8):
+        params, state, loss = step(params, state, jax.random.key(0))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
