@@ -29,9 +29,11 @@ def build_scene(name: str, assets_dir: str):
         return builder.cornell_spheres_scene()
     if name == "cornell_materials":
         from raytracer_tpu.ops.bvh import build_lbvh
+        from raytracer_tpu.ops.bvh4 import build_bvh4
 
         s = builder.cornell_materials_scene(assets_dir)
-        return s.replace(bvh=build_lbvh(s.mesh))
+        bvh = build_lbvh(s.mesh)
+        return s.replace(bvh=bvh, bvh4=build_bvh4(s.mesh, bvh))
     if name == "cornell_bunny":
         return builder.reference_scene(assets_dir, with_bunny=True, build_bvh=True)
     if name == "cornell":

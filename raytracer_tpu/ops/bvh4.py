@@ -1,0 +1,256 @@
+"""4-wide BVH (BVH4): collapse of the binary LBVH for TPU traversal.
+
+Why: the binary lockstep traversal (ops/traverse.py) pays ~6 scattered
+gathers per step and visits ~2x more nodes than a 4-wide tree. A BVH4
+step gathers ONE coalesced 24-float bounds row + one 4-int child row,
+slab-tests 4 children vectorized, and handles leaves as CONTIGUOUS
+sorted-triangle ranges (Karras subtrees cover contiguous sorted leaf
+slots), so leaf processing reads consecutive rows instead of scattering.
+
+Child encoding (i32):
+    >= 0   → internal BVH4 node index
+    == -1  → empty slot
+    <= -2  → leaf range: code = -(2 + lo*8 + (count-1)), count ∈ 1..8
+
+The collapse runs host-side in NumPy (one-time per scene, vectorized
+level sweep). Traversal preserves the reference's closest-hit semantics
+exactly (same slab test and Möller–Trumbore as the binary path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.ops import triangle as tri_ops
+from raytracer_tpu.scene.types import Bvh, TriMesh, _pytree
+
+BIG = np.float32(3.0e38)
+STACK_DEPTH = 48
+MAX_LEAF = 4  # triangles per leaf range (≤8 encodable)
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class Bvh4:
+    bounds: jnp.ndarray    # f32[N4, 4, 6] child boxes (min3, max3); empty slots inf/-inf
+    children: jnp.ndarray  # i32[N4, 4] encoded as above
+    tri: jnp.ndarray       # f32[T, 9] packed (v0,e1,e2) in SORTED leaf order
+    prim_index: jnp.ndarray  # i32[T] sorted-slot → original face id
+
+
+def _leaf_code(lo: int, count: int) -> int:
+    return -(2 + lo * 8 + (count - 1))
+
+
+def build_bvh4(mesh: TriMesh, bvh: Bvh) -> Bvh4:
+    """Host-side collapse of the binary LBVH into a BVH4."""
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    node_min = np.asarray(bvh.node_min)
+    node_max = np.asarray(bvh.node_max)
+    prim_index = np.asarray(bvh.prim_index)
+    n_int = left.shape[0]
+    t = n_int + 1
+
+    # Leaf-slot ranges per binary node (leaves are contiguous in Karras).
+    lo = np.zeros(2 * t - 1, np.int64)
+    hi = np.zeros(2 * t - 1, np.int64)
+    lo[n_int:] = np.arange(t)
+    hi[n_int:] = np.arange(t)
+    # Internal ranges via fix-point sweeps (depth-bounded).
+    for _ in range(64):
+        new_lo = np.minimum(lo[left], lo[right])
+        new_hi = np.maximum(hi[left], hi[right])
+        if (new_lo == lo[:n_int]).all() and (new_hi == hi[:n_int]).all():
+            break
+        lo[:n_int] = new_lo
+        hi[:n_int] = new_hi
+    count = hi - lo + 1
+
+    def expand(node: int) -> list[int]:
+        """Binary children, splitting internal children once more → ≤4."""
+        out = []
+        for c in (left[node], right[node]):
+            if c >= n_int or count[c] <= MAX_LEAF:
+                out.append(int(c))
+            else:
+                out.extend((int(left[c]), int(right[c])))
+        return out
+
+    # BFS from binary root (0), creating a BVH4 node per visited binary
+    # internal node with count > MAX_LEAF.
+    bvh4_id: dict[int, int] = {}
+    order: list[int] = []
+
+    if count[0] <= MAX_LEAF:
+        # Tiny mesh: single root with one leaf-range child.
+        bounds = np.full((1, 4, 6), 0, np.float32)
+        bounds[:, :, 0:3] = np.inf
+        bounds[:, :, 3:6] = -np.inf
+        bounds[0, 0, 0:3] = node_min[0]
+        bounds[0, 0, 3:6] = node_max[0]
+        children = np.full((1, 4), -1, np.int32)
+        children[0, 0] = _leaf_code(int(lo[0]), int(count[0]))
+    else:
+        queue = [0]
+        bvh4_id[0] = 0
+        order.append(0)
+        while queue:
+            node = queue.pop()
+            for c in expand(node):
+                if c < n_int and count[c] > MAX_LEAF and c not in bvh4_id:
+                    bvh4_id[c] = len(order)
+                    order.append(c)
+                    queue.append(c)
+
+        n4 = len(order)
+        bounds = np.empty((n4, 4, 6), np.float32)
+        bounds[:, :, 0:3] = np.inf
+        bounds[:, :, 3:6] = -np.inf
+        children = np.full((n4, 4), -1, np.int32)
+        for idx, node in enumerate(order):
+            for slot, c in enumerate(expand(node)):
+                bounds[idx, slot, 0:3] = node_min[c]
+                bounds[idx, slot, 3:6] = node_max[c]
+                if c >= n_int:
+                    children[idx, slot] = _leaf_code(int(lo[c]), 1)
+                elif count[c] <= MAX_LEAF:
+                    children[idx, slot] = _leaf_code(int(lo[c]), int(count[c]))
+                else:
+                    children[idx, slot] = bvh4_id[c]
+
+    # Triangle data in sorted leaf order.
+    verts = np.asarray(mesh.vertices)
+    faces = np.asarray(mesh.faces)[prim_index]
+    v0 = verts[faces[:, 0]]
+    e1 = verts[faces[:, 1]] - v0
+    e2 = verts[faces[:, 2]] - v0
+
+    tri = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
+    return Bvh4(
+        bounds=jnp.asarray(bounds),
+        children=jnp.asarray(children),
+        tri=jnp.asarray(tri),
+        prim_index=jnp.asarray(prim_index.astype(np.int32)),
+    )
+
+
+def intersect_bvh4(origins, dirs, bvh4: Bvh4, t_min, t_max):
+    """Closest triangle hit; returns (t f32[N] (BIG on miss), tri_id i32[N]
+    in ORIGINAL face order). Lockstep wavefront while_loop; each lane's
+    step is either one internal-node expansion (4 slab tests) or one
+    leaf-range sweep (≤4 contiguous Möller–Trumbore tests)."""
+    n = origins.shape[0]
+    lanes = jnp.arange(n)
+    inv_d = 1.0 / dirs
+    t_hi0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    root_b = bvh4.bounds[0]  # [4,6] — root's own box is the union
+    root_min = jnp.min(root_b[:, 0:3], axis=0)
+    root_max = jnp.max(jnp.where(jnp.isfinite(root_b[:, 3:6]), root_b[:, 3:6], -BIG), axis=0)
+    rt0 = (root_min - origins) * inv_d
+    rt1 = (root_max - origins) * inv_d
+    rmin = jnp.maximum(jnp.max(jnp.minimum(rt0, rt1), axis=-1), t_min)
+    rmax = jnp.minimum(jnp.min(jnp.maximum(rt0, rt1), axis=-1), t_hi0)
+    root_hit = rmax > rmin
+
+    NONE = jnp.int32(-1)
+
+    def cond(state):
+        return jnp.any(state["active"])
+
+    def body(state):
+        task = state["task"]
+        active = state["active"]
+        t_best = state["t_best"]
+        best = state["best_prim"]
+        sp = state["sp"]
+        stack = state["stack"]
+
+        is_internal = active & (task >= 0)
+        is_leaf = active & (task <= -2)
+
+        # ---- Internal expansion ----
+        ni = jnp.where(is_internal, task, 0)
+        b = bvh4.bounds[ni]                     # [N,4,6]
+        ch = bvh4.children[ni]                  # [N,4]
+        t0 = (b[:, :, 0:3] - origins[:, None, :]) * inv_d[:, None, :]
+        t1 = (b[:, :, 3:6] - origins[:, None, :]) * inv_d[:, None, :]
+        tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), t_min)      # [N,4]
+        tmax = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), t_best[:, None])
+        chit = (tmax > tmin) & (ch != NONE) & is_internal[:, None]
+        tmin = jnp.where(chit, tmin, BIG)
+
+        # Sort 4 candidates by entry t (sorting network, vectorized).
+        def cswap(tm, cc, i, j):
+            swap = tm[:, i] > tm[:, j]
+            ti = jnp.where(swap, tm[:, j], tm[:, i])
+            tj = jnp.where(swap, tm[:, i], tm[:, j])
+            ci = jnp.where(swap, cc[:, j], cc[:, i])
+            cj = jnp.where(swap, cc[:, i], cc[:, j])
+            tm = tm.at[:, i].set(ti).at[:, j].set(tj)
+            cc = cc.at[:, i].set(ci).at[:, j].set(cj)
+            return tm, cc
+
+        tm, cc = tmin, ch
+        for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
+            tm, cc = cswap(tm, cc, i, j)
+        nhit = jnp.sum(chit.astype(jnp.int32), axis=-1)  # [N] sorted-valid prefix
+
+        next_from_internal = jnp.where(nhit > 0, cc[:, 0], NONE)
+        # Push the rest far-to-near so nearest pops first.
+        for k in (3, 2, 1):
+            do_push = is_internal & (nhit > k)
+            idx = jnp.clip(sp, 0, STACK_DEPTH - 1)
+            stack = stack.at[lanes, idx].set(jnp.where(do_push, cc[:, k], stack[lanes, idx]))
+            sp = jnp.where(do_push, sp + 1, sp)
+
+        # ---- Leaf-range sweep ----
+        code = jnp.where(is_leaf, -task - 2, 0)
+        leaf_lo = code // 8
+        leaf_count = (code % 8) + 1
+        for k in range(MAX_LEAF):
+            slot = jnp.clip(leaf_lo + k, 0, bvh4.tri.shape[0] - 1)
+            trik = bvh4.tri[slot]  # [N,9] single coalesced gather
+            ok, t_tri = tri_ops.intersect_tri_single(
+                origins, dirs, trik[:, 0:3], trik[:, 3:6], trik[:, 6:9],
+                t_min, t_best,
+            )
+            improve = is_leaf & (k < leaf_count) & ok & (t_tri < t_best)
+            t_best = jnp.where(improve, t_tri, t_best)
+            best = jnp.where(improve, bvh4.prim_index[slot], best)
+
+        # ---- Next task ----
+        next_task = jnp.where(is_internal, next_from_internal, NONE)
+        can_pop = sp > 0
+        popped = stack[lanes, jnp.clip(sp - 1, 0, STACK_DEPTH - 1)]
+        do_pop = active & (next_task == NONE) & can_pop
+        next_task = jnp.where(do_pop, popped, next_task)
+        sp = jnp.where(do_pop, sp - 1, sp)
+        active = active & (next_task != NONE)
+
+        return {
+            "task": jnp.where(active, next_task, 0),
+            "sp": sp,
+            "stack": stack,
+            "t_best": t_best,
+            "best_prim": best,
+            "active": active,
+        }
+
+    state = {
+        "task": jnp.zeros((n,), jnp.int32),
+        "sp": jnp.zeros((n,), jnp.int32),
+        "stack": jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        "t_best": t_hi0,
+        "best_prim": jnp.full((n,), -1, jnp.int32),
+        "active": root_hit,
+    }
+    state = jax.lax.while_loop(cond, body, state)
+    found = state["best_prim"] >= 0
+    return jnp.where(found, state["t_best"], BIG), jnp.where(found, state["best_prim"], 0)

@@ -48,7 +48,13 @@ def intersect_scene(scene: Scene, origins, dirs, t_min, t_max=BIG) -> HitIds:
     ts, sid = sphere_ops.intersect_spheres(
         origins, dirs, scene.spheres.center, scene.spheres.radius, t_min, t_max
     )
-    if scene.bvh is not None:
+    if scene.bvh4 is not None:
+        from raytracer_tpu.ops import bvh4 as bvh4_ops
+
+        tt, tid = bvh4_ops.intersect_bvh4(
+            origins, dirs, scene.bvh4, t_min, jnp.minimum(ts, t_max)
+        )
+    elif scene.bvh is not None:
         from raytracer_tpu.ops import traverse as trav
 
         tt, tid = trav.intersect_bvh(

@@ -106,10 +106,23 @@ def reference_scene(assets_dir: str = "assets/models", with_bunny: bool = True,
     scene = add_reference_extras(mesh, materials,
                                  name="cornell_bunny" if with_bunny else "cornell")
     if build_bvh:
-        from raytracer_tpu.ops.bvh import build_lbvh
-
-        scene = scene.replace(bvh=build_lbvh(mesh))
+        scene = scene.replace(bvh4=build_scene_bvh4(mesh))
     return scene
+
+
+def build_scene_bvh4(mesh: TriMesh):
+    """Preferred acceleration structure: native binned-SAH BVH4
+    (native/scenekit.cpp); falls back to the pure-XLA LBVH + Python
+    collapse when the native library is unavailable."""
+    try:
+        from raytracer_tpu.scene.native import build_bvh4_native
+
+        return build_bvh4_native(mesh)
+    except Exception:
+        from raytracer_tpu.ops.bvh import build_lbvh
+        from raytracer_tpu.ops.bvh4 import build_bvh4
+
+        return build_bvh4(mesh, build_lbvh(mesh))
 
 
 def cornell_materials_scene(assets_dir: str = "assets/models") -> Scene:

@@ -164,6 +164,7 @@ class Scene:
     spheres: Spheres
     mesh: TriMesh
     bvh: Optional[Bvh] = None
+    bvh4: Optional[Any] = None  # ops/bvh4.Bvh4 — preferred traversal structure
     name: str = "scene"
 
     def replace(self, **kw) -> "Scene":
