@@ -25,7 +25,9 @@ import numpy as np
 
 def _atomic_save(path: str, **arrays) -> None:
     d = os.path.dirname(os.path.abspath(path)) or "."
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    # Suffix must be ".npz" — np.savez appends it otherwise and the
+    # rename would move an empty file.
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
     os.close(fd)
     try:
         np.savez(tmp, **arrays)

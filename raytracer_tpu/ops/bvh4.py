@@ -34,13 +34,32 @@ STACK_DEPTH = 48
 MAX_LEAF = 4  # triangles per leaf range (≤8 encodable)
 
 
-@_pytree
+@_pytree(meta=["stack_depth"])
 @dataclasses.dataclass(frozen=True)
 class Bvh4:
     bounds: jnp.ndarray    # f32[N4, 4, 6] child boxes (min3, max3); empty slots inf/-inf
     children: jnp.ndarray  # i32[N4, 4] encoded as above
     tri: jnp.ndarray       # f32[T, 9] packed (v0,e1,e2) in SORTED leaf order
     prim_index: jnp.ndarray  # i32[T] sorted-slot → original face id
+    stack_depth: int = STACK_DEPTH  # static: exact 3*tree-depth bound
+
+
+def compute_stack_depth(children: np.ndarray) -> int:
+    """Exact worst-case traversal stack bound: ≤3 pushes per level on a
+    root-to-leaf chain → 3 × tree depth (+ slack), rounded up to 8."""
+    depth = np.zeros(children.shape[0], np.int32)
+    maxd = 1
+    stack = [0]
+    depth[0] = 1
+    while stack:
+        nid = stack.pop()
+        for c in children[nid]:
+            if c >= 0:
+                depth[c] = depth[nid] + 1
+                maxd = max(maxd, int(depth[c]))
+                stack.append(int(c))
+    bound = 3 * maxd + 4
+    return min(int((bound + 7) // 8 * 8), 256)
 
 
 def _leaf_code(lo: int, count: int) -> int:
@@ -137,6 +156,7 @@ def build_bvh4(mesh: TriMesh, bvh: Bvh) -> Bvh4:
         children=jnp.asarray(children),
         tri=jnp.asarray(tri),
         prim_index=jnp.asarray(prim_index.astype(np.int32)),
+        stack_depth=compute_stack_depth(children),
     )
 
 
@@ -146,6 +166,7 @@ def intersect_bvh4(origins, dirs, bvh4: Bvh4, t_min, t_max):
     step is either one internal-node expansion (4 slab tests) or one
     leaf-range sweep (≤4 contiguous Möller–Trumbore tests)."""
     n = origins.shape[0]
+    stack_cap = bvh4.stack_depth
     lanes = jnp.arange(n)
     inv_d = 1.0 / dirs
     t_hi0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -206,7 +227,7 @@ def intersect_bvh4(origins, dirs, bvh4: Bvh4, t_min, t_max):
         # Push the rest far-to-near so nearest pops first.
         for k in (3, 2, 1):
             do_push = is_internal & (nhit > k)
-            idx = jnp.clip(sp, 0, STACK_DEPTH - 1)
+            idx = jnp.clip(sp, 0, stack_cap - 1)
             stack = stack.at[lanes, idx].set(jnp.where(do_push, cc[:, k], stack[lanes, idx]))
             sp = jnp.where(do_push, sp + 1, sp)
 
@@ -228,7 +249,7 @@ def intersect_bvh4(origins, dirs, bvh4: Bvh4, t_min, t_max):
         # ---- Next task ----
         next_task = jnp.where(is_internal, next_from_internal, NONE)
         can_pop = sp > 0
-        popped = stack[lanes, jnp.clip(sp - 1, 0, STACK_DEPTH - 1)]
+        popped = stack[lanes, jnp.clip(sp - 1, 0, stack_cap - 1)]
         do_pop = active & (next_task == NONE) & can_pop
         next_task = jnp.where(do_pop, popped, next_task)
         sp = jnp.where(do_pop, sp - 1, sp)
@@ -246,7 +267,7 @@ def intersect_bvh4(origins, dirs, bvh4: Bvh4, t_min, t_max):
     state = {
         "task": jnp.zeros((n,), jnp.int32),
         "sp": jnp.zeros((n,), jnp.int32),
-        "stack": jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        "stack": jnp.zeros((n, stack_cap), jnp.int32),
         "t_best": t_hi0,
         "best_prim": jnp.full((n,), -1, jnp.int32),
         "active": root_hit,

@@ -90,9 +90,12 @@ def build_bvh4_native(mesh, max_leaf: int = 4):
     e1 = verts[fperm[:, 1]] - v0
     e2 = verts[fperm[:, 2]] - v0
     tri = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
+    from raytracer_tpu.ops.bvh4 import compute_stack_depth
+
     return Bvh4(
         bounds=jnp.asarray(bounds[:n4]),
         children=jnp.asarray(children[:n4]),
         tri=jnp.asarray(tri),
         prim_index=jnp.asarray(prim),
+        stack_depth=compute_stack_depth(children[:n4]),
     )

@@ -35,15 +35,11 @@ def test_wavefront_matches_megakernel(scene):
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)
 
 
-def test_wavefront_small_queue_matches(scene):
-    """Queue smaller than the pixel count forces many regeneration waves;
-    result must be identical."""
-    from raytracer_tpu.models.wavefront import render_pixels_wavefront
-    from raytracer_tpu.render import _pixel_grid
-
-    cfg = RenderConfig(width=16, height=16, spp=4, max_bounces=5)
+def test_wavefront_deep_bounces_matches(scene):
+    """Regeneration across many samples/bounces must not disturb the
+    estimator: high spp + deep bounce cap still equals the megakernel."""
+    cfg = RenderConfig(width=12, height=12, spp=16, max_bounces=20)
     key = jax.random.key(3)
-    px, py = _pixel_grid(cfg)
-    a = np.asarray(render_pixels_wavefront(scene, _cam(cfg), px, py, cfg, key))
-    b = np.asarray(render_pixels_wavefront(scene, _cam(cfg), px, py, cfg, key, queue_size=64))
-    np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)
+    a = np.asarray(render_image(scene, _cam(cfg), cfg, key))
+    b = np.asarray(render_image_wavefront(scene, _cam(cfg), cfg, key))
+    np.testing.assert_allclose(a, b, atol=5e-4, rtol=2e-4)
