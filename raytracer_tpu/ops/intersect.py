@@ -28,6 +28,25 @@ from raytracer_tpu.scene.types import Scene
 BIG = np.float32(3.0e38)
 PRIM_SPHERE = 0
 PRIM_TRI = 1
+# Wavefronts at least this wide use packetized traversal; smaller batches
+# use the per-lane path (cheaper fixed costs).
+PACKET_MIN_RAYS = 4096
+
+
+def _traversal_backend() -> str:
+    """'pallas' (packet kernel, TPU default), 'packets' (XLA packet
+    loop, CPU default), or 'lane' (per-lane XLA loop). Overridable via
+    RAYTRACER_TPU_TRAVERSAL."""
+    import os
+
+    choice = os.environ.get("RAYTRACER_TPU_TRAVERSAL")
+    if choice in ("pallas", "packets", "lane"):
+        return choice
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "packets"
 
 
 class HitIds(NamedTuple):
@@ -49,11 +68,25 @@ def intersect_scene(scene: Scene, origins, dirs, t_min, t_max=BIG) -> HitIds:
         origins, dirs, scene.spheres.center, scene.spheres.radius, t_min, t_max
     )
     if scene.bvh4 is not None:
-        from raytracer_tpu.ops import bvh4 as bvh4_ops
+        backend = _traversal_backend()
+        if backend == "pallas" and origins.shape[0] >= PACKET_MIN_RAYS:
+            from raytracer_tpu.ops import pallas_traverse
 
-        tt, tid = bvh4_ops.intersect_bvh4(
-            origins, dirs, scene.bvh4, t_min, jnp.minimum(ts, t_max)
-        )
+            tt, tid = pallas_traverse.intersect_bvh4_pallas(
+                origins, dirs, scene.bvh4, t_min, jnp.minimum(ts, t_max)
+            )
+        elif backend != "lane" and origins.shape[0] >= PACKET_MIN_RAYS:
+            from raytracer_tpu.ops import packets
+
+            tt, tid = packets.intersect_bvh4_packets(
+                origins, dirs, scene.bvh4, t_min, jnp.minimum(ts, t_max)
+            )
+        else:
+            from raytracer_tpu.ops import bvh4 as bvh4_ops
+
+            tt, tid = bvh4_ops.intersect_bvh4(
+                origins, dirs, scene.bvh4, t_min, jnp.minimum(ts, t_max)
+            )
     elif scene.bvh is not None:
         from raytracer_tpu.ops import traverse as trav
 

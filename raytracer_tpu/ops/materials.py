@@ -89,8 +89,7 @@ def scatter(
     is_die = mtype == DIELECTRIC
     is_light = mtype == DIFFUSE_LIGHT
 
-    direction = jnp.where(is_lam[:, None], lam_dir, lam_dir)
-    direction = jnp.where(is_metal[:, None], reflected, direction)
+    direction = jnp.where(is_metal[:, None], reflected, lam_dir)
     direction = jnp.where(is_die[:, None], die_dir, direction)
 
     attenuation = jnp.where(is_die[:, None], jnp.ones_like(albedo), albedo)

@@ -104,7 +104,6 @@ def intersect_bvh(origins, dirs, mesh: TriMesh, bvh: Bvh, t_min, t_max):
         sp = jnp.where(push, sp + 1, sp)
 
         # Next node: internal descend, else pop.
-        want_pop = active & (is_leaf | (~is_leaf & ~(both | one)))
         next_node = jnp.where(active & ~is_leaf, next_internal, SENTINEL)
         can_pop = sp > 0
         popped = stack[jnp.arange(n), jnp.clip(sp - 1, 0, STACK_DEPTH - 1)]
