@@ -1,0 +1,63 @@
+"""End-to-end pipeline tests over triangle scenes (loader → BVH4 →
+packet traversal → integrators), wide enough to exercise the packet
+traversal dispatch (≥4096 rays)."""
+
+import jax
+import numpy as np
+import pytest
+
+from raytracer_tpu.camera import make_camera
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.models.wavefront import render_image_wavefront
+from raytracer_tpu.render import render_image
+from raytracer_tpu.scene import builder
+
+
+@pytest.fixture(scope="module")
+def scene():
+    s = builder.cornell_materials_scene(assets_dir="assets/models")
+    return s.replace(bvh4=builder.build_scene_bvh4(s.mesh))
+
+
+def _cam(cfg):
+    return make_camera(aspect_ratio=cfg.width / cfg.height, fov_degrees=cfg.fov_degrees,
+                       aperture=cfg.aperture, position=(0.0, 0.35, 1.3), pitch=-12.0)
+
+
+def test_cornell_render_wide_batch(scene):
+    """80x80 = 6400 rays → the packet-traversal dispatch path."""
+    cfg = RenderConfig(width=80, height=80, spp=2, max_bounces=4)
+    img = np.asarray(render_image(scene, _cam(cfg), cfg, jax.random.key(0)))
+    assert np.isfinite(img).all() and (img >= 0).all()
+    # The box interior occupies the central ~40% of the frame at this
+    # camera; wall-color bleed must tint the interior sides: one side
+    # red-dominant, the other green-dominant (mirrored-u reference
+    # convention decides which is which).
+    cl = img[30:55, 24:32].mean(axis=(0, 1))
+    cr = img[30:55, 48:56].mean(axis=(0, 1))
+    ratios = (cl[0] / cl[1], cr[0] / cr[1])  # R/G per side
+    assert max(ratios) > 1.1 and min(ratios) < 0.95, (cl, cr)
+    # The area light must push some pixels above 1 (pre-tonemap linear).
+    assert img.max() > 1.0
+
+
+def test_wavefront_equals_megakernel_on_triangle_scene(scene):
+    cfg = RenderConfig(width=80, height=80, spp=2, max_bounces=5)
+    key = jax.random.key(4)
+    a = np.asarray(render_image(scene, _cam(cfg), cfg, key))
+    b = np.asarray(render_image_wavefront(scene, _cam(cfg), cfg, key))
+    np.testing.assert_allclose(a, b, atol=5e-4, rtol=2e-4)
+
+
+def test_native_and_python_builders_agree(scene):
+    """Native SAH BVH4 and Python LBVH-collapse BVH4 produce identical
+    images (acceleration structure is output-invariant)."""
+    from raytracer_tpu.ops.bvh import build_lbvh
+    from raytracer_tpu.ops.bvh4 import build_bvh4
+
+    cfg = RenderConfig(width=48, height=48, spp=2, max_bounces=4)
+    key = jax.random.key(9)
+    img_native = np.asarray(render_image(scene, _cam(cfg), cfg, key))
+    scene_py = scene.replace(bvh4=build_bvh4(scene.mesh, build_lbvh(scene.mesh)))
+    img_py = np.asarray(render_image(scene_py, _cam(cfg), cfg, key))
+    np.testing.assert_allclose(img_native, img_py, atol=1e-5, rtol=1e-5)

@@ -80,3 +80,18 @@ def test_training_reduces_loss(scene):
         params, state, loss = step(params, state, jax.random.key(0))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_multihost_helpers_on_local_mesh(scene):
+    """multihost.render_image_multihost degrades gracefully to the local
+    device mesh and matches the plain render bit-for-bit."""
+    from raytracer_tpu.parallel import multihost
+
+    cfg = RenderConfig(width=16, height=8, spp=2, max_bounces=3)
+    cam = _cam(cfg)
+    key = jax.random.key(21)
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == 8
+    img = np.asarray(multihost.render_image_multihost(scene, cam, cfg, key, mesh))
+    ref = np.asarray(render_image(scene, cam, cfg, key))
+    np.testing.assert_array_equal(img, ref)
