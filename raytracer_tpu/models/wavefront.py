@@ -58,6 +58,9 @@ def render_pixels_wavefront(
     spp = cfg.spp if spp is None else spp
     n = px.shape[0]
     pkeys = rngu.lane_keys(key, py * cfg.width + px)  # static per lane
+    # Zero-gather Pallas trace+shade path (ops/intersect.trace_frame_fused)
+    # when available; otherwise the generic ops path.
+    use_fused = isect.fused_trace_available(scene, n)
 
     def cond(state):
         return jnp.any(state["active"] | (state["sample"] < spp))
@@ -88,14 +91,20 @@ def render_pixels_wavefront(
         throughput = throughput * rr_scale[:, None]
 
         # --- One bounce for the whole queue.
-        ids = isect.intersect_scene(scene, origins, dirs, cfg.t_min)
-        attrs = isect.shade_hit(scene, origins, dirs, ids)
-        sc = mat_ops.scatter(kb, dirs, attrs.normal, attrs.front_face, attrs.mat_id,
-                             scene.materials)
+        if use_fused:
+            fh = isect.trace_frame_fused(scene, origins, dirs, cfg.t_min)
+            ray_hit, point = fh.hit, fh.point
+            sc = mat_ops.scatter_params(kb, dirs, fh.normal, fh.front_face, fh.params)
+        else:
+            ids = isect.intersect_scene(scene, origins, dirs, cfg.t_min)
+            attrs = isect.shade_hit(scene, origins, dirs, ids)
+            ray_hit, point = ids.hit, attrs.point
+            sc = mat_ops.scatter(kb, dirs, attrs.normal, attrs.front_face,
+                                 attrs.mat_id, scene.materials)
 
-        hit = ids.hit & survived_rr
+        hit = ray_hit & survived_rr
         light_hit = hit & sc.is_light
-        miss = survived_rr & ~ids.hit
+        miss = survived_rr & ~ray_hit
         cont = hit & sc.scattered & (bounce + 1 < cfg.max_bounces)
 
         emitted = sc.emission if cfg.reference_emission_quirk else throughput * sc.emission
@@ -107,7 +116,7 @@ def render_pixels_wavefront(
         sample = jnp.where(terminated, sample + 1, sample)
 
         throughput = jnp.where(cont[:, None], throughput * sc.attenuation, throughput)
-        origins = jnp.where(cont[:, None], attrs.point, origins)
+        origins = jnp.where(cont[:, None], point, origins)
         dirs = jnp.where(cont[:, None], sc.direction, dirs)
         bounce = jnp.where(cont, bounce + 1, bounce)
 

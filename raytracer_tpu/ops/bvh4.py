@@ -41,6 +41,7 @@ class Bvh4:
     children: jnp.ndarray  # i32[N4, 4] encoded as above
     tri: jnp.ndarray       # f32[T, 9] packed (v0,e1,e2) in SORTED leaf order
     prim_index: jnp.ndarray  # i32[T] sorted-slot → original face id
+    face_mat: jnp.ndarray | None = None  # i32[T] material ids in SORTED order
     stack_depth: int = STACK_DEPTH  # static: exact 3*tree-depth bound
 
 
@@ -68,6 +69,7 @@ def _leaf_code(lo: int, count: int) -> int:
 
 def build_bvh4(mesh: TriMesh, bvh: Bvh) -> Bvh4:
     """Host-side collapse of the binary LBVH into a BVH4."""
+    face_mat_np = np.asarray(mesh.face_mat)
     left = np.asarray(bvh.left)
     right = np.asarray(bvh.right)
     node_min = np.asarray(bvh.node_min)
@@ -156,6 +158,7 @@ def build_bvh4(mesh: TriMesh, bvh: Bvh) -> Bvh4:
         children=jnp.asarray(children),
         tri=jnp.asarray(tri),
         prim_index=jnp.asarray(prim_index.astype(np.int32)),
+        face_mat=jnp.asarray(face_mat_np[prim_index].astype(np.int32)),
         stack_depth=compute_stack_depth(children),
     )
 

@@ -147,3 +147,82 @@ def shade_hit(scene: Scene, origins, dirs, ids: HitIds) -> HitAttrs:
         front_face=jnp.where(is_tri, tr_front, sp_front),
         mat_id=jnp.where(is_tri, tr_mat, sp_mat),
     )
+
+
+class FrameHit(NamedTuple):
+    """Gather-free closest-hit record for the wavefront fast path."""
+
+    hit: jnp.ndarray         # bool[N]
+    point: jnp.ndarray       # f32[N,3]
+    normal: jnp.ndarray      # f32[N,3] front-facing unit normal
+    front_face: jnp.ndarray  # bool[N]
+    params: "object"         # materials.MatParams per lane
+
+
+def fused_trace_available(scene: Scene, n_rays: int) -> bool:
+    """True when the zero-gather Pallas trace+shade path applies."""
+    return (
+        scene.bvh4 is not None
+        and scene.bvh4.face_mat is not None
+        and n_rays >= PACKET_MIN_RAYS
+        and _traversal_backend() == "pallas"
+    )
+
+
+def trace_frame_fused(scene: Scene, origins, dirs, t_min, interpret=None) -> FrameHit:
+    """Closest hit + per-lane material params with ZERO XLA gathers:
+    spheres via an unrolled select sweep, triangles via the Pallas packet
+    kernel (which returns mat id + geometric normal), material table via
+    unrolled selects (ops/materials.lookup_params). Forward-only — used
+    by the wavefront integrator; the differentiable megakernel path keeps
+    intersect_scene/shade_hit."""
+    from raytracer_tpu.ops import materials as mat_ops
+    from raytracer_tpu.ops.pallas_traverse import trace_closest_pallas
+
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:
+            interpret = True
+
+    sph = scene.spheres
+    n = origins.shape[0]
+    a = jnp.sum(dirs * dirs, axis=-1)
+    t_sph = jnp.full((n,), BIG, jnp.float32)
+    c_sel = jnp.zeros((n, 3), jnp.float32)
+    r_sel = jnp.ones((n,), jnp.float32)
+    m_sel = jnp.zeros((n,), jnp.int32)
+    for s in range(sph.count):
+        oc = origins - sph.center[s]
+        half_b = jnp.sum(oc * dirs, axis=-1)
+        c = jnp.sum(oc * oc, axis=-1) - sph.radius[s] * sph.radius[s]
+        disc = half_b * half_b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        root_near = (-half_b - sq) / a
+        root_far = (-half_b + sq) / a
+        near_ok = (root_near >= t_min) & (root_near <= t_sph)
+        far_ok = (root_far >= t_min) & (root_far <= t_sph)
+        root = jnp.where(near_ok, root_near, root_far)
+        valid = (disc >= 0.0) & (near_ok | far_ok)
+        better = valid & (root < t_sph)
+        t_sph = jnp.where(better, root, t_sph)
+        b3 = better[:, None]
+        c_sel = jnp.where(b3, sph.center[s], c_sel)
+        r_sel = jnp.where(better, jnp.where(sph.radius[s] != 0.0, sph.radius[s], 1.0), r_sel)
+        m_sel = jnp.where(better, sph.mat_id[s], m_sel)
+
+    rec = trace_closest_pallas(origins, dirs, scene.bvh4, t_sph, interpret=interpret)
+    tri_wins = rec["t"] < t_sph
+    t = jnp.where(tri_wins, rec["t"], t_sph)
+    hit = t < BIG
+    point = origins + t[:, None] * dirs
+
+    outward = (point - c_sel) / r_sel[:, None]
+    raw_n = jnp.where(tri_wins[:, None], rec["normal"], outward)
+    nn = raw_n / jnp.sqrt(jnp.maximum(jnp.sum(raw_n * raw_n, axis=-1, keepdims=True), 1e-24))
+    front = jnp.sum(dirs * nn, axis=-1) < 0.0
+    n_facing = jnp.where(front[:, None], nn, -nn)
+
+    mat_id = jnp.where(tri_wins, rec["mat_id"], m_sel)
+    params = mat_ops.lookup_params(scene.materials, mat_id)
+    return FrameHit(hit=hit, point=point, normal=n_facing, front_face=front, params=params)

@@ -42,6 +42,49 @@ class ScatterResult(NamedTuple):
     emission: jnp.ndarray     # f32[N,3]
 
 
+class MatParams(NamedTuple):
+    """Per-lane material parameters (already looked up)."""
+
+    mtype: jnp.ndarray      # i32[N]
+    albedo: jnp.ndarray     # f32[N,3]
+    emission: jnp.ndarray   # f32[N,3]
+    roughness: jnp.ndarray  # f32[N]
+    ior: jnp.ndarray        # f32[N]
+
+
+# Tables up to this many rows are fetched with unrolled selects instead
+# of gathers — a gather costs ~0.6 ms fixed on the TPU backend
+# (ARCHITECTURE.md), a dozen fused selects are ~free.
+SELECT_TABLE_MAX = 24
+
+
+def lookup_params(materials: Materials, mat_id: jnp.ndarray) -> MatParams:
+    m = materials.count
+    if m <= SELECT_TABLE_MAX:
+        n = mat_id.shape[0]
+        mtype = jnp.zeros((n,), jnp.int32)
+        albedo = jnp.zeros((n, 3), jnp.float32)
+        emission = jnp.zeros((n, 3), jnp.float32)
+        roughness = jnp.zeros((n,), jnp.float32)
+        ior = jnp.ones((n,), jnp.float32)
+        for r in range(m):
+            sel = mat_id == r
+            sel3 = sel[:, None]
+            mtype = jnp.where(sel, materials.type[r], mtype)
+            albedo = jnp.where(sel3, materials.albedo[r], albedo)
+            emission = jnp.where(sel3, materials.emission[r], emission)
+            roughness = jnp.where(sel, materials.roughness[r], roughness)
+            ior = jnp.where(sel, materials.ior[r], ior)
+        return MatParams(mtype, albedo, emission, roughness, ior)
+    return MatParams(
+        materials.type[mat_id],
+        materials.albedo[mat_id],
+        materials.emission[mat_id],
+        materials.roughness[mat_id],
+        materials.ior[mat_id],
+    )
+
+
 def scatter(
     keys: jax.Array,        # per-lane key array [N]
     in_dir: jnp.ndarray,    # f32[N,3] incoming ray direction (unnormalized, as in reference)
@@ -50,11 +93,22 @@ def scatter(
     mat_id: jnp.ndarray,    # i32[N]
     materials: Materials,
 ) -> ScatterResult:
-    mtype = materials.type[mat_id]
-    albedo = materials.albedo[mat_id]
-    emission = materials.emission[mat_id]
-    roughness = materials.roughness[mat_id][:, None]
-    ior = materials.ior[mat_id]
+    return scatter_params(keys, in_dir, normal, front_face,
+                          lookup_params(materials, mat_id))
+
+
+def scatter_params(
+    keys: jax.Array,
+    in_dir: jnp.ndarray,
+    normal: jnp.ndarray,
+    front_face: jnp.ndarray,
+    params: MatParams,
+) -> ScatterResult:
+    mtype = params.mtype
+    albedo = params.albedo
+    emission = params.emission
+    roughness = params.roughness[:, None]
+    ior = params.ior
 
     unit_vec = rngu.random_unit_vector(keys, rngu.P_SCATTER_UNIT)
     u_dielectric = rngu.uniform(keys, rngu.P_DIELECTRIC)

@@ -40,8 +40,9 @@ PACKET = P_SUB * P_LANE  # 1024 rays per program
 NONE = np.int32(-1)
 
 
-def _kernel(bounds_ref, children_ref, tri_ref, prim_ref,
-            o_ref, d_ref, tlim_ref, t_out_ref, id_out_ref,
+def _kernel(bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
+            o_ref, d_ref, tlim_ref,
+            t_out_ref, id_out_ref, mat_out_ref, nx_out_ref, ny_out_ref, nz_out_ref,
             stack_ref):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]          # (8,128)
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
@@ -52,6 +53,8 @@ def _kernel(bounds_ref, children_ref, tri_ref, prim_ref,
 
     t_best0 = tlim_ref[0]                                        # (8,128)
     best0 = jnp.full((P_SUB, P_LANE), NONE, jnp.int32)
+    mat0 = jnp.zeros((P_SUB, P_LANE), jnp.int32)
+    n0 = jnp.zeros((P_SUB, P_LANE), jnp.float32)
 
     # Root box = union of the root node's child boxes.
     rb = bounds_ref[0]                                           # (4,6)
@@ -75,11 +78,10 @@ def _kernel(bounds_ref, children_ref, tri_ref, prim_ref,
     start = jnp.where(jnp.any(rhit), 0, NONE)
 
     def cond(carry):
-        task, sp, t_best, best = carry
-        return task != NONE
+        return carry[0] != NONE
 
     def body(carry):
-        task, sp, t_best, best = carry
+        task, sp, t_best, best, mat, nx, ny, nz = carry
         is_internal = task >= 0
 
         # ---------- Internal node ----------
@@ -152,6 +154,12 @@ def _kernel(bounds_ref, children_ref, tri_ref, prim_ref,
             ok &= is_leaf & (k < leaf_count)
             t_best = jnp.where(ok, t, t_best)
             best = jnp.where(ok, prim_ref[pl.ds(slot, 1)][0], best)
+            mat = jnp.where(ok, fmat_ref[pl.ds(slot, 1)][0], mat)
+            # Geometric (unnormalized) face normal of the winning
+            # triangle — normalized outside (reference Core/Mesh.cuh:303).
+            nx = jnp.where(ok, e1y * e2z - e1z * e2y, nx)
+            ny = jnp.where(ok, e1z * e2x - e1x * e2z, ny)
+            nz = jnp.where(ok, e1x * e2y - e1y * e2x, nz)
 
         # ---------- Next task ----------
         next_task = jnp.where(is_internal, desc, NONE)
@@ -159,17 +167,22 @@ def _kernel(bounds_ref, children_ref, tri_ref, prim_ref,
         popped = stack_ref[jnp.maximum(new_sp - 1, 0)]
         next_task = jnp.where(do_pop, popped, next_task)
         new_sp = jnp.where(do_pop, new_sp - 1, new_sp)
-        return next_task, new_sp, t_best, best
+        return next_task, new_sp, t_best, best, mat, nx, ny, nz
 
-    _, _, t_best, best = jax.lax.while_loop(
-        cond, body, (start, jnp.int32(0), t_best0, best0)
+    _, _, t_best, best, mat, nx, ny, nz = jax.lax.while_loop(
+        cond, body, (start, jnp.int32(0), t_best0, best0, mat0, n0, n0, n0)
     )
     t_out_ref[0] = t_best
     id_out_ref[0] = best
+    mat_out_ref[0] = mat
+    nx_out_ref[0] = nx
+    ny_out_ref[0] = ny
+    nz_out_ref[0] = nz
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _traverse_packets(bounds, children, tri, prim, o_pk, d_pk, tlim_pk, interpret=False):
+def _traverse_packets(bounds, children, tri, prim, fmat, o_pk, d_pk, tlim_pk,
+                      interpret=False):
     g = o_pk.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -179,6 +192,7 @@ def _traverse_packets(bounds, children, tri, prim, o_pk, d_pk, tlim_pk, interpre
             pl.BlockSpec(memory_space=pltpu.VMEM),  # children (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tri (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # prim (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # face materials (full)
             pl.BlockSpec((1, 3, P_SUB, P_LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, P_SUB, P_LANE), lambda i: (i, 0, 0, 0),
@@ -188,9 +202,8 @@ def _traverse_packets(bounds, children, tri, prim, o_pk, d_pk, tlim_pk, interpre
         ],
         out_specs=[
             pl.BlockSpec((1, P_SUB, P_LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P_SUB, P_LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM)
+            for _ in range(6)
         ],
         scratch_shapes=[pltpu.SMEM((64,), jnp.int32)],
     )
@@ -200,16 +213,26 @@ def _traverse_packets(bounds, children, tri, prim, o_pk, d_pk, tlim_pk, interpre
         out_shape=[
             jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.float32),
             jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.int32),
+            jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.int32),
+            jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(bounds, children, tri, prim, o_pk, d_pk, tlim_pk)
+    )(bounds, children, tri, prim, fmat, o_pk, d_pk, tlim_pk)
 
 
-def intersect_bvh4_pallas(origins, dirs, bvh4: Bvh4, t_min, t_max,
-                          sort: bool = True, interpret: bool = False):
-    """Closest triangle hit via the Pallas packet kernel. Same contract
-    as ops/bvh4.intersect_bvh4: (t f32[N] BIG-on-miss, tri_id i32[N])."""
-    del t_min  # fixed 1e-3 inside the kernel (cfg.t_min is 1e-3 everywhere)
+def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max,
+                         sort: bool = True, interpret: bool = False):
+    """Full closest-hit record via the Pallas packet kernel, with ZERO
+    XLA gathers after the launch (the kernel returns the winning
+    triangle's material id and geometric normal, so the wavefront's
+    shade stage needs no table lookups).
+
+    Returns dict with t (BIG on miss), tri_id (original face order),
+    mat_id, normal (unnormalized geometric cross(e1,e2)) — all [N].
+    Note t_min is fixed at 1e-3 inside the kernel (== RenderConfig.t_min).
+    """
     n = origins.shape[0]
     t_hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
@@ -239,18 +262,40 @@ def intersect_bvh4_pallas(origins, dirs, bvh4: Bvh4, t_min, t_max,
         g, 3, P_SUB, P_LANE)
     tlim = jnp.where(valid, t_hi[perm_p], -1.0).reshape(g, P_SUB, P_LANE)
 
-    t_pk, id_pk = _traverse_packets(
-        bvh4.bounds, bvh4.children, bvh4.tri, bvh4.prim_index,
+    fmat = bvh4.face_mat
+    if fmat is None:
+        fmat = jnp.zeros((bvh4.tri.shape[0],), jnp.int32)
+    t_pk, id_pk, m_pk, nx_pk, ny_pk, nz_pk = _traverse_packets(
+        bvh4.bounds, bvh4.children, bvh4.tri, bvh4.prim_index, fmat,
         o_pk, d_pk, tlim, interpret=interpret,
     )
 
-    t_flat = t_pk.reshape(-1)
-    id_flat = id_pk.reshape(-1)
     inv_src = perm_p.at[n:].set(jnp.int32(2**30)) if pad else perm_p
     inv = jnp.argsort(inv_src)
     if pad:
         inv = inv[:n]
-    t_sorted = t_flat[inv]
-    id_sorted = id_flat[inv]
+
+    def unpack(x):
+        return x.reshape(-1)[inv]
+
+    t_sorted = unpack(t_pk)
+    id_sorted = unpack(id_pk)
     found = id_sorted >= 0
-    return jnp.where(found, t_sorted, BIG), jnp.where(found, id_sorted, 0)
+    normal = jnp.stack([unpack(nx_pk), unpack(ny_pk), unpack(nz_pk)], axis=-1)
+    return {
+        "t": jnp.where(found, t_sorted, BIG),
+        "tri_id": jnp.where(found, id_sorted, 0),
+        "mat_id": jnp.where(found, unpack(m_pk), 0),
+        "normal": normal,
+        "hit": found,
+    }
+
+
+def intersect_bvh4_pallas(origins, dirs, bvh4: Bvh4, t_min, t_max,
+                          sort: bool = True, interpret: bool = False):
+    """Closest triangle hit via the Pallas packet kernel. Same contract
+    as ops/bvh4.intersect_bvh4: (t f32[N] BIG-on-miss, tri_id i32[N])."""
+    del t_min  # fixed 1e-3 inside the kernel (cfg.t_min is 1e-3 everywhere)
+    rec = trace_closest_pallas(origins, dirs, bvh4, t_max, sort=sort,
+                               interpret=interpret)
+    return rec["t"], rec["tri_id"]

@@ -92,10 +92,12 @@ def build_bvh4_native(mesh, max_leaf: int = 4):
     tri = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
     from raytracer_tpu.ops.bvh4 import compute_stack_depth
 
+    face_mat = np.asarray(mesh.face_mat)[prim].astype(np.int32)
     return Bvh4(
         bounds=jnp.asarray(bounds[:n4]),
         children=jnp.asarray(children[:n4]),
         tri=jnp.asarray(tri),
         prim_index=jnp.asarray(prim),
+        face_mat=jnp.asarray(face_mat),
         stack_depth=compute_stack_depth(children[:n4]),
     )

@@ -94,3 +94,28 @@ def test_max_bounces_exhaustion_returns_black():
     cfg = RenderConfig(width=8, height=8, spp=4, max_bounces=3, min_bounces=99)
     img = np.asarray(render_image(scene, _cam(cfg), cfg, jax.random.key(0)))
     np.testing.assert_allclose(img, 0.0, atol=1e-6)
+
+
+def test_triangle_scene_matches_oracle():
+    """Golden test for the triangle path: Cornell OBJ box (+ extras)
+    rendered by the JAX integrator vs the independent NumPy oracle."""
+    from raytracer_tpu.scene import builder
+
+    scene = builder.cornell_materials_scene(assets_dir="assets/models")
+    scene = scene.replace(bvh4=builder.build_scene_bvh4(scene.mesh))
+    cfg = RenderConfig(width=24, height=24, spp=48, max_bounces=4)
+    from raytracer_tpu.camera import make_camera
+
+    cam = make_camera(aspect_ratio=1.0, fov_degrees=cfg.fov_degrees,
+                      aperture=cfg.aperture, position=(0.0, 0.35, 1.3), pitch=-12.0)
+    img = np.asarray(render_image(scene, cam, cfg, jax.random.key(3)))
+
+    osc = OracleScene.from_scene(scene)
+    ref = oracle_render(osc, 24, 24, spp=48, max_bounces=4, seed=11,
+                        position=(0.0, 0.35, 1.3), pitch=-12.0,
+                        focus_dist=float(np.linalg.norm([0.0, 0.35, 1.3])))
+    a = _downsample(img, 4)
+    b = _downsample(ref, 4)
+    diff = np.abs(a - b)
+    assert diff.mean() < 0.05, f"mean tile diff {diff.mean():.4f}"
+    np.testing.assert_allclose(img.mean(axis=(0, 1)), ref.mean(axis=(0, 1)), atol=0.04)
