@@ -143,11 +143,39 @@ def render_pixels_wavefront(
     return state["acc"] / jnp.float32(spp)
 
 
+def _tiled_pixel_grid(cfg: RenderConfig):
+    """Pixel ids in 8x128 SCREEN-TILE lane order, so each Pallas packet
+    (8x128 lanes) is a compact screen tile — coherent camera rays and
+    origin-local bounce rays with NO per-bounce sorting (the sort's
+    permute machinery costs ~10 gather thunks per bounce on TPU).
+
+    Returns (px, py [bottom-up], inv) where image.flat[p] = lanes[inv[p]].
+    Non-multiple image sizes are padded with duplicated edge pixels
+    (their lanes render but are dropped by inv)."""
+    import numpy as np
+
+    th, tw = 8, 128
+    w, h = cfg.width, cfg.height
+    wp = (w + tw - 1) // tw * tw
+    hp = (h + th - 1) // th * th
+    rows = np.minimum(np.arange(hp), h - 1)
+    cols = np.minimum(np.arange(wp), w - 1)
+    r2 = np.broadcast_to(rows[:, None], (hp, wp))
+    c2 = np.broadcast_to(cols[None, :], (hp, wp))
+    lane_rows = r2.reshape(hp // th, th, wp // tw, tw).transpose(0, 2, 1, 3).reshape(-1)
+    lane_cols = c2.reshape(hp // th, th, wp // tw, tw).transpose(0, 2, 1, 3).reshape(-1)
+    n = lane_rows.size
+    flat = lane_rows * w + lane_cols
+    inv = np.zeros(h * w, np.int32)
+    inv[flat[::-1]] = np.arange(n, dtype=np.int32)[::-1]  # first lane wins
+    px = jnp.asarray(lane_cols.astype(np.int32))
+    py = jnp.asarray((h - 1 - lane_rows).astype(np.int32))
+    return px, py, jnp.asarray(inv)
+
+
 def render_image_wavefront(
     scene: Scene, cam: Camera, cfg: RenderConfig, key: jax.Array, spp: int | None = None
 ) -> jnp.ndarray:
-    from raytracer_tpu.render import _pixel_grid
-
-    px, py = _pixel_grid(cfg)
+    px, py, inv = _tiled_pixel_grid(cfg)
     rgb = render_pixels_wavefront(scene, cam, px, py, cfg, key, spp=spp)
-    return rgb.reshape(cfg.height, cfg.width, 3)
+    return rgb[inv].reshape(cfg.height, cfg.width, 3)

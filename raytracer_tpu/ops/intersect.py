@@ -169,7 +169,8 @@ def fused_trace_available(scene: Scene, n_rays: int) -> bool:
     )
 
 
-def trace_frame_fused(scene: Scene, origins, dirs, t_min, interpret=None) -> FrameHit:
+def trace_frame_fused(scene: Scene, origins, dirs, t_min, interpret=None,
+                      sort: bool = False) -> FrameHit:
     """Closest hit + per-lane material params with ZERO XLA gathers:
     spheres via an unrolled select sweep, triangles via the Pallas packet
     kernel (which returns mat id + geometric normal), material table via
@@ -211,7 +212,8 @@ def trace_frame_fused(scene: Scene, origins, dirs, t_min, interpret=None) -> Fra
         r_sel = jnp.where(better, jnp.where(sph.radius[s] != 0.0, sph.radius[s], 1.0), r_sel)
         m_sel = jnp.where(better, sph.mat_id[s], m_sel)
 
-    rec = trace_closest_pallas(origins, dirs, scene.bvh4, t_sph, interpret=interpret)
+    rec = trace_closest_pallas(origins, dirs, scene.bvh4, t_sph, sort=sort,
+                               interpret=interpret)
     tri_wins = rec["t"] < t_sph
     t = jnp.where(tri_wins, rec["t"], t_sph)
     hit = t < BIG

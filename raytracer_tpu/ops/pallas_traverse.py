@@ -235,8 +235,13 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max,
     """
     n = origins.shape[0]
     t_hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    pad = (-n) % PACKET
 
     if sort:
+        # Dynamic coherence sort. Note: the permute/unpermute machinery
+        # costs ~10 gather thunks per call on this backend; callers with
+        # statically coherent ray order (screen-tiled wavefront lanes)
+        # should pass sort=False, which is gather-free.
         from raytracer_tpu.ops.packets import _coherence_keys
 
         lo = jnp.min(bvh4.bounds[0, :, 0:3], axis=0)
@@ -244,23 +249,27 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max,
         hi = jnp.max(hi_b, axis=0)
         keys = _coherence_keys(origins, dirs, lo, 1.0 / jnp.maximum(hi - lo, 1e-12))
         perm = jnp.argsort(keys).astype(jnp.int32)
+        if pad:
+            perm_p = jnp.concatenate([perm, jnp.zeros((pad,), jnp.int32)])
+            valid = jnp.concatenate([jnp.ones((n,), bool), jnp.zeros((pad,), bool)])
+        else:
+            perm_p = perm
+            valid = jnp.ones((n,), bool)
+        o_in = origins[perm_p]
+        d_in = dirs[perm_p]
+        t_in = jnp.where(valid, t_hi[perm_p], -1.0)
     else:
-        perm = jnp.arange(n, dtype=jnp.int32)
-
-    pad = (-n) % PACKET
-    if pad:
-        perm_p = jnp.concatenate([perm, jnp.zeros((pad,), jnp.int32)])
-        valid = jnp.concatenate([jnp.ones((n,), bool), jnp.zeros((pad,), bool)])
-    else:
-        perm_p = perm
-        valid = jnp.ones((n,), bool)
+        if pad:
+            o_in = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+            d_in = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
+            t_in = jnp.concatenate([t_hi, jnp.full((pad,), -1.0, jnp.float32)])
+        else:
+            o_in, d_in, t_in = origins, dirs, t_hi
 
     g = (n + pad) // PACKET
-    o_pk = origins[perm_p].reshape(g, PACKET, 3).transpose(0, 2, 1).reshape(
-        g, 3, P_SUB, P_LANE)
-    d_pk = dirs[perm_p].reshape(g, PACKET, 3).transpose(0, 2, 1).reshape(
-        g, 3, P_SUB, P_LANE)
-    tlim = jnp.where(valid, t_hi[perm_p], -1.0).reshape(g, P_SUB, P_LANE)
+    o_pk = o_in.reshape(g, PACKET, 3).transpose(0, 2, 1).reshape(g, 3, P_SUB, P_LANE)
+    d_pk = d_in.reshape(g, PACKET, 3).transpose(0, 2, 1).reshape(g, 3, P_SUB, P_LANE)
+    tlim = t_in.reshape(g, P_SUB, P_LANE)
 
     fmat = bvh4.face_mat
     if fmat is None:
@@ -270,13 +279,18 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max,
         o_pk, d_pk, tlim, interpret=interpret,
     )
 
-    inv_src = perm_p.at[n:].set(jnp.int32(2**30)) if pad else perm_p
-    inv = jnp.argsort(inv_src)
-    if pad:
-        inv = inv[:n]
+    if sort:
+        inv_src = perm_p.at[n:].set(jnp.int32(2**30)) if pad else perm_p
+        inv = jnp.argsort(inv_src)
+        if pad:
+            inv = inv[:n]
 
-    def unpack(x):
-        return x.reshape(-1)[inv]
+        def unpack(x):
+            return x.reshape(-1)[inv]
+    else:
+
+        def unpack(x):
+            return x.reshape(-1)[:n]
 
     t_sorted = unpack(t_pk)
     id_sorted = unpack(id_pk)
