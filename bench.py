@@ -30,11 +30,9 @@ def main():
 
     jaxcache.enable()
 
-    import jax.numpy as jnp
-
     from raytracer_tpu.camera import make_camera
     from raytracer_tpu.config import RenderConfig
-    from raytracer_tpu.models.wavefront import render_pixels_wavefront
+    from raytracer_tpu.models.wavefront import render_image_wavefront
     from raytracer_tpu.scene.builder import reference_scene
 
     platform = jax.devices()[0].platform
@@ -45,7 +43,10 @@ def main():
     else:  # CPU smoke fallback
         width, height, spp, bounces = 256, 144, 2, 6
 
-    cfg = RenderConfig(width=width, height=height, spp=spp, max_bounces=bounces)
+    # spp_per_pass keeps each device dispatch short (the tunnel kills
+    # multi-second dispatches occasionally).
+    cfg = RenderConfig(width=width, height=height, spp=spp, max_bounces=bounces,
+                       spp_per_pass=2)
     scene = reference_scene(assets_dir="assets/models", build_bvh=True)
     jax.block_until_ready(scene.bvh4.bounds)
     cam = make_camera(
@@ -53,11 +54,8 @@ def main():
         aperture=cfg.aperture, position=(0.0, 0.35, 1.3), pitch=-12.0,
     )
 
-    xs = jnp.tile(jnp.arange(width, dtype=jnp.int32)[None, :], (height, 1)).reshape(-1)
-    ys = height - 1 - jnp.repeat(jnp.arange(height, dtype=jnp.int32), width)
-    render = jax.jit(
-        lambda key: render_pixels_wavefront(scene, cam, xs, ys, cfg, key, spp=spp)
-    )
+    def render(key):
+        return render_image_wavefront(scene, cam, cfg, key)
 
     # Warmup / compile, then timed runs (materialize a scalar to defeat
     # any async-dispatch timing artifacts through the device tunnel).

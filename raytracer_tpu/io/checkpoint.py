@@ -37,12 +37,13 @@ def _atomic_save(path: str, **arrays) -> None:
             os.remove(tmp)
 
 
-def render_image_resumable(scene, cam, cfg, key, ckpt_path: str, spp_per_batch: int | None = None):
-    """Chunk-free resumable render: accumulates spp in batches, saving
+def render_image_resumable(scene, cam, cfg, key, ckpt_path: str,
+                           spp_per_batch: int | None = None,
+                           integrator: str = "wavefront"):
+    """Resumable render: accumulates spp in batches, saving
     (accumulated sum, samples done) after each. Returns the mean linear
-    image f32[H,W,3]."""
-    from raytracer_tpu.render import render_rows
-
+    image f32[H,W,3]. `integrator`: 'wavefront' (fast path) or
+    'megakernel' (row-chunked oracle path)."""
     spp_per_batch = spp_per_batch or cfg.spp_per_pass
     h, w = cfg.height, cfg.width
 
@@ -58,6 +59,38 @@ def render_image_resumable(scene, cam, cfg, key, ckpt_path: str, spp_per_batch: 
                 acc = z["acc"]
                 done = int(z["spp_done"])
 
+    def save():
+        _atomic_save(
+            ckpt_path,
+            acc=acc,
+            spp_done=np.int64(done),
+            spp_total=np.int64(cfg.spp),
+            seed_hash=np.int64(_key_hash(key)),
+        )
+
+    if integrator == "wavefront":
+        from raytracer_tpu.models.wavefront import (
+            _tiled_pixel_grid,
+            render_pixels_wavefront,
+        )
+
+        px, py, inv = _tiled_pixel_grid(cfg)
+        run = jax.jit(
+            lambda s_off, sp: render_pixels_wavefront(
+                scene, cam, px, py, cfg, key, spp=sp, sample_offset=s_off),
+            static_argnums=(1,),
+        )
+        inv_np = np.asarray(inv)
+        while done < cfg.spp:
+            s = min(spp_per_batch, cfg.spp - done)
+            part = np.asarray(run(jnp.int32(done), s))[inv_np].reshape(h, w, 3)
+            acc = acc + part * s
+            done += s
+            save()
+        return jnp.asarray(acc / cfg.spp)
+
+    from raytracer_tpu.render import render_rows
+
     rows_per_chunk = max(1, min(h, cfg.max_rays_per_pass // w))
     while done < cfg.spp:
         s = min(spp_per_batch, cfg.spp - done)
@@ -71,13 +104,7 @@ def render_image_resumable(scene, cam, cfg, key, ckpt_path: str, spp_per_batch: 
             )
         acc = acc + np.concatenate(parts, axis=0) * s
         done += s
-        _atomic_save(
-            ckpt_path,
-            acc=acc,
-            spp_done=np.int64(done),
-            spp_total=np.int64(cfg.spp),
-            seed_hash=np.int64(_key_hash(key)),
-        )
+        save()
     return jnp.asarray(acc / cfg.spp)
 
 

@@ -51,9 +51,13 @@ def render_pixels_wavefront(
     cfg: RenderConfig,
     key: jax.Array,
     spp: int | None = None,
+    sample_offset: int = 0,
     queue_size: int | None = None,  # kept for API compat; lanes == pixels
 ) -> jnp.ndarray:
-    """Mean linear radiance f32[N,3] over spp samples per pixel."""
+    """Mean linear radiance f32[N,3] over spp samples per pixel.
+    `sample_offset` shifts the global sample indices so spp-batched calls
+    draw the same randoms as one big pass (keeps long renders in short
+    device dispatches)."""
     del queue_size
     spp = cfg.spp if spp is None else spp
     n = px.shape[0]
@@ -72,7 +76,7 @@ def render_pixels_wavefront(
 
         # --- Regeneration: idle lanes with budget start their next sample.
         claim = ~active & (sample < spp)
-        skeys = rngu.fold(pkeys, sample)
+        skeys = rngu.fold(pkeys, sample + sample_offset)
         kb = rngu.fold(skeys, bounce)
         o_new, d_new = generate_rays(cam, px, py, cfg.width, cfg.height, skeys)
         cl3 = claim[:, None]
@@ -176,6 +180,28 @@ def _tiled_pixel_grid(cfg: RenderConfig):
 def render_image_wavefront(
     scene: Scene, cam: Camera, cfg: RenderConfig, key: jax.Array, spp: int | None = None
 ) -> jnp.ndarray:
+    """Full-image wavefront render; spp above cfg.spp_per_pass is split
+    into multiple device dispatches (the tunnel dislikes multi-minute
+    single dispatches) with identical results (sample-offset keying)."""
     px, py, inv = _tiled_pixel_grid(cfg)
-    rgb = render_pixels_wavefront(scene, cam, px, py, cfg, key, spp=spp)
+    spp = cfg.spp if spp is None else spp
+    step = max(1, min(spp, cfg.spp_per_pass))
+    if step >= spp:
+        rgb = render_pixels_wavefront(scene, cam, px, py, cfg, key, spp=spp)
+    else:
+        # sample_offset is a traced argument: every batch reuses ONE
+        # compiled program (only the batch spp is static).
+        run = jax.jit(
+            lambda s_off, sp: render_pixels_wavefront(
+                scene, cam, px, py, cfg, key, spp=sp, sample_offset=s_off),
+            static_argnums=(1,),
+        )
+        acc = None
+        done = 0
+        while done < spp:
+            s = min(step, spp - done)
+            part = run(jnp.int32(done), s) * (s / spp)
+            acc = part if acc is None else acc + part
+            done += s
+        rgb = acc
     return rgb[inv].reshape(cfg.height, cfg.width, 3)
