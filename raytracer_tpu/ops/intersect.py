@@ -64,6 +64,13 @@ class HitAttrs(NamedTuple):
 
 
 def intersect_scene(scene: Scene, origins, dirs, t_min, t_max=BIG) -> HitIds:
+    # The hit DECISION is detached by design (SURVEY.md §2.3 item 5):
+    # gradients route through shade_hit's differentiable recomputation.
+    # Detaching here also keeps ray tangents out of the Pallas traversal,
+    # which has no AD rule.
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    scene = jax.lax.stop_gradient(scene)
     ts, sid = sphere_ops.intersect_spheres(
         origins, dirs, scene.spheres.center, scene.spheres.radius, t_min, t_max
     )
