@@ -75,3 +75,20 @@ def test_bunny_material_offset_quirk():
     face_mat = np.asarray(mesh.face_mat)
     assert face_mat[:32].max() == 7         # cornell faces within table
     assert (face_mat[32:] == 8).all()       # bunny → first post-OBJ material
+
+
+def test_negative_indices_and_vt_vn(tmp_path):
+    p = os.path.join(tmp_path, "neg.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nf -3/1/1 -2/2/2 -1/3/3\n")
+    mesh = load_obj(p, [])
+    np.testing.assert_array_equal(mesh.faces, [[0, 1, 2]])
+
+
+def test_unknown_usemtl_falls_back_to_zero(tmp_path):
+    p = os.path.join(tmp_path, "u.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nusemtl missing\nf 1 2 3\n")
+    mesh = load_obj(p, [])
+    # unknown material → -1 → clamped to 0 (SceneManager.h:262-264 analog)
+    np.testing.assert_array_equal(mesh.face_material_ids, [0])

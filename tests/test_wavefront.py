@@ -43,3 +43,26 @@ def test_wavefront_deep_bounces_matches(scene):
     a = np.asarray(render_image(scene, _cam(cfg), cfg, key))
     b = np.asarray(render_image_wavefront(scene, _cam(cfg), cfg, key))
     np.testing.assert_allclose(a, b, atol=5e-4, rtol=2e-4)
+
+
+def test_spp_batched_render_matches_single_pass(scene):
+    """render_image_wavefront with spp_per_pass < spp must equal the
+    single-dispatch render (sample-offset keying)."""
+    cfg1 = RenderConfig(width=16, height=16, spp=8, max_bounces=4, spp_per_pass=8)
+    cfg2 = cfg1.replace(spp_per_pass=2)
+    key = jax.random.key(5)
+    a = np.asarray(render_image_wavefront(scene, _cam(cfg1), cfg1, key))
+    b = np.asarray(render_image_wavefront(scene, _cam(cfg2), cfg2, key))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
+def test_tiled_grid_covers_every_pixel():
+    from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+
+    cfg = RenderConfig(width=150, height=37)  # non-multiples of 128/8
+    px, py, inv = _tiled_pixel_grid(cfg)
+    px, py, inv = map(np.asarray, (px, py, inv))
+    rows = cfg.height - 1 - py
+    flat = rows * cfg.width + px
+    # inv maps every image pixel to a lane holding exactly that pixel.
+    assert (flat[inv] == np.arange(cfg.width * cfg.height)).all()
