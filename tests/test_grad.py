@@ -101,3 +101,35 @@ def test_camera_gradients_flow(scene):
     assert np.isfinite(float(g_fov))
     assert np.isfinite(np.asarray(g_pos)).all()
     assert (np.abs(np.asarray(g_pos)) > 0).any()
+
+
+def test_inverse_rendering_recovers_albedo(scene):
+    """BASELINE config[4] in miniature: perturb a diffuse albedo, optimize
+    against the clean render, and verify the parameter moves back toward
+    the truth (not merely that loss decreases)."""
+    from raytracer_tpu.diff import inverse
+
+    cfg = RenderConfig(width=32, height=16, spp=4, max_bounces=3)
+    # Camera that actually frames the spheres (the reference default pose
+    # looks over the scene; see PARITY.md item 7).
+    cam = make_camera(aspect_ratio=2.0, fov_degrees=cfg.fov_degrees,
+                      aperture=cfg.aperture, position=(0.0, 0.5, 1.6), pitch=-14.0)
+    target = render_image(scene, cam, cfg, jax.random.key(77))
+
+    true_albedo = np.asarray(scene.materials.albedo)
+    params = {"albedo": scene.materials.albedo.at[2].set(
+        jnp.asarray([0.2, 0.6, 0.6]))}  # red diffuse sphere → wrong color
+    err0 = float(jnp.abs(params["albedo"][2] - true_albedo[2]).sum())
+
+    state = inverse.adam_init(params)
+    step = inverse.make_train_step(scene, cam, cfg, target, lr=0.08)
+    # Fixed-noise matching: optimizing with the SAME rng key as the
+    # target makes the true parameters an exact optimum (loss → 0),
+    # standard practice for low-spp inverse rendering.
+    for i in range(25):
+        params, state, loss = step(params, state, jax.random.key(77))
+    # Compare in EFFECTIVE parameter space: the renderer clips albedo to
+    # [0,1] (diff/inverse._apply_params), so raw params may overshoot.
+    eff = jnp.clip(params["albedo"][2], 0.0, 1.0)
+    err1 = float(jnp.abs(eff - true_albedo[2]).sum())
+    assert err1 < err0 * 0.45, (err0, err1, np.asarray(eff))
