@@ -28,12 +28,8 @@ def build_scene(name: str, assets_dir: str):
     if name == "cornell_spheres":
         return builder.cornell_spheres_scene()
     if name == "cornell_materials":
-        from raytracer_tpu.ops.bvh import build_lbvh
-        from raytracer_tpu.ops.bvh4 import build_bvh4
-
         s = builder.cornell_materials_scene(assets_dir)
-        bvh = build_lbvh(s.mesh)
-        return s.replace(bvh=bvh, bvh4=build_bvh4(s.mesh, bvh))
+        return s.replace(bvh4=builder.build_scene_bvh4(s.mesh))
     if name == "cornell_bunny":
         return builder.reference_scene(assets_dir, with_bunny=True, build_bvh=True)
     if name == "cornell":
@@ -48,8 +44,6 @@ def main(argv=None):
 
     from raytracer_tpu.camera import make_camera
     from raytracer_tpu.config import PRESETS, RenderConfig
-    from raytracer_tpu.render import tone_map_image
-    from raytracer_tpu.utils.image import write_npy, write_png
 
     ap = argparse.ArgumentParser(description="TPU-native path tracer")
     ap.add_argument("--preset", choices=sorted(PRESETS), default=None)
@@ -70,6 +64,10 @@ def main(argv=None):
                     help="'reference' reproduces the CUDA program's initial pose "
                          "(EntryPoint.cu:16-20, Raytracer.h:79-84)")
     ap.add_argument("--sharded", action="store_true", help="shard pixels over all devices")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler device trace to DIR (TensorBoard)")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve a live auto-refreshing preview at PORT while rendering")
     args = ap.parse_args(argv)
 
     cfg = PRESETS[args.preset] if args.preset else RenderConfig(
@@ -92,6 +90,25 @@ def main(argv=None):
                           aperture=cfg.aperture, position=(0.0, 0.35, 1.3), pitch=-12.0)
 
     key = jax.random.key(args.seed)
+    import contextlib
+
+    from raytracer_tpu.utils.profiling import Meter, log_metrics, trace
+
+    prof = trace(args.profile) if args.profile else contextlib.nullcontext()
+    if args.serve is not None:
+        import os as _os
+
+        from raytracer_tpu import viewer
+
+        _os.makedirs("preview", exist_ok=True)
+        viewer.serve("preview", port=args.serve)
+        with prof, Meter(cfg.width, cfg.height, cfg.spp) as meter:
+            linear = viewer.progressive_render(scene, cam, cfg, key,
+                                               out_path="preview/preview.png")
+        log_metrics("render", rays_per_sec=meter.rays_per_sec, seconds=meter.elapsed)
+        _write_outputs(args, cfg, linear, meter.elapsed)
+        return
+
     t0 = time.perf_counter()
     if args.checkpoint:
         from raytracer_tpu.io.checkpoint import render_image_resumable
@@ -111,11 +128,16 @@ def main(argv=None):
         linear = render_image_chunked(scene, cam, cfg, key)
     linear.block_until_ready()
     dt = time.perf_counter() - t0
+    _write_outputs(args, cfg, linear, dt)
+
+
+def _write_outputs(args, cfg, linear, dt):
+    from raytracer_tpu.render import tone_map_image
+    from raytracer_tpu.utils.image import write_npy, write_png
 
     rays = cfg.width * cfg.height * cfg.spp
     print(f"{cfg.width}x{cfg.height} spp={cfg.spp} in {dt:.2f}s "
           f"({rays / dt / 1e6:.2f} M camera rays/s)", file=sys.stderr)
-
     rgba = np.asarray(tone_map_image(linear))
     write_png(args.out, rgba)
     if args.npy:
