@@ -15,6 +15,11 @@ writes a loss curve. `--quick` drops spp for smoke runs.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
 import json
 import os
 import sys

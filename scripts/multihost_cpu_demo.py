@@ -11,7 +11,10 @@ exercises the identical code path a TPU pod slice uses
 (parallel/multihost.py), minus the hardware.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 import numpy as np
 

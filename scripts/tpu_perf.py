@@ -6,6 +6,11 @@ Keeps every dispatch short to stay under the tunnel's tolerance.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
 import sys
 import time
 
