@@ -40,22 +40,33 @@ def main():
 
     if on_accel:
         width, height, spp, bounces = 2560, 1440, 8, 20
-    else:  # CPU smoke fallback
-        width, height, spp, bounces = 256, 144, 2, 6
+    else:  # CPU smoke fallback (just proves the harness runs)
+        width, height, spp, bounces = 64, 36, 1, 2
 
     # spp_per_pass keeps each device dispatch short (the tunnel kills
     # multi-second dispatches occasionally).
     cfg = RenderConfig(width=width, height=height, spp=spp, max_bounces=bounces,
                        spp_per_pass=2)
-    scene = reference_scene(assets_dir="assets/models", build_bvh=True)
-    jax.block_until_ready(scene.bvh4.bounds)
+    if on_accel:
+        scene = reference_scene(assets_dir="assets/models", build_bvh=True)
+        jax.block_until_ready(scene.bvh4.bounds)
+    else:
+        from raytracer_tpu.scene.builder import cornell_spheres_scene
+
+        scene = cornell_spheres_scene()
     cam = make_camera(
         aspect_ratio=cfg.aspect_ratio, fov_degrees=cfg.fov_degrees,
         aperture=cfg.aperture, position=(0.0, 0.35, 1.3), pitch=-12.0,
     )
 
-    def render(key):
-        return render_image_wavefront(scene, cam, cfg, key)
+    if on_accel:
+        def render(key):
+            return render_image_wavefront(scene, cam, cfg, key)
+    else:
+        from raytracer_tpu.render import render_image
+
+        def render(key):
+            return render_image(scene, cam, cfg, key)
 
     # Warmup / compile, then timed runs (materialize a scalar to defeat
     # any async-dispatch timing artifacts through the device tunnel).

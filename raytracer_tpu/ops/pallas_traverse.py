@@ -153,8 +153,10 @@ def _kernel(bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
             ok &= (t >= t_min) & (t <= t_best)
             ok &= is_leaf & (k < leaf_count)
             t_best = jnp.where(ok, t, t_best)
-            best = jnp.where(ok, prim_ref[pl.ds(slot, 1)][0], best)
-            mat = jnp.where(ok, fmat_ref[pl.ds(slot, 1)][0], mat)
+            # prim/fmat are [T,1] so these are aligned 2D scalar loads
+            # (Mosaic cannot do unaligned dynamic 1D i32 loads).
+            best = jnp.where(ok, prim_ref[pl.ds(slot, 1), :][0, 0], best)
+            mat = jnp.where(ok, fmat_ref[pl.ds(slot, 1), :][0, 0], mat)
             # Geometric (unnormalized) face normal of the winning
             # triangle — normalized outside (reference Core/Mesh.cuh:303).
             nx = jnp.where(ok, e1y * e2z - e1z * e2y, nx)
@@ -275,7 +277,8 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max,
     if fmat is None:
         fmat = jnp.zeros((bvh4.tri.shape[0],), jnp.int32)
     t_pk, id_pk, m_pk, nx_pk, ny_pk, nz_pk = _traverse_packets(
-        bvh4.bounds, bvh4.children, bvh4.tri, bvh4.prim_index, fmat,
+        bvh4.bounds, bvh4.children, bvh4.tri,
+        bvh4.prim_index.reshape(-1, 1), fmat.reshape(-1, 1),
         o_pk, d_pk, tlim, interpret=interpret,
     )
 
