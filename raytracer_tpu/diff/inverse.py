@@ -89,9 +89,10 @@ def make_train_step(
     mesh=None,
     lr: float = 2e-2,
 ):
-    """Returns (train_step, init_state). train_step(params, adam_state,
-    key) → (params, adam_state, loss). If `mesh` is given, pixels are
-    sharded over its 'rays' axis and grads are psum-reduced."""
+    """Returns a jitted train_step: train_step(params, adam_state, key)
+    → (params, adam_state, loss). Initialize optimizer state separately
+    with adam_init(params). If `mesh` is given, pixels are sharded over
+    its first axis and parameter grads are psum-reduced over ICI."""
     import numpy as np
 
     h, w = cfg.height, cfg.width
@@ -99,10 +100,16 @@ def make_train_step(
     ys = np.repeat(np.arange(h - 1, -1, -1, dtype=np.int32), w)
     target_flat = target.reshape(-1, 3)
 
-    def local_loss(params, key, px, py, tgt):
+    def local_loss(params, key, px, py, tgt, weight=None):
         scene = _apply_params(base_scene, params)
         rgb = render_pixels(scene, cam, px, py, cfg, key)
-        return jnp.mean((rgb - tgt) ** 2)
+        sq = jnp.sum((rgb - tgt) ** 2, axis=-1)
+        if weight is None:
+            return jnp.mean(sq) / 3.0
+        # Weighted mean: padding lanes (weight 0) must not bias the loss
+        # or the psum'd gradients (they render duplicated pixels against
+        # a zero target).
+        return jnp.sum(sq * weight) / 3.0
 
     if mesh is None:
         px, py = jnp.asarray(xs), jnp.asarray(ys)
@@ -126,26 +133,31 @@ def make_train_step(
     tgt = jnp.asarray(
         np.concatenate([target_flat, np.zeros((pad, 3), np.float32)]) if pad else target_flat
     )
+    # Per-lane weight 1/n_real for real pixels, 0 for padding lanes.
+    w = jnp.asarray(
+        np.concatenate([np.full(n, 1.0 / n, np.float32), np.zeros(pad, np.float32)]))
 
-    def sharded_grads(params, key, px, py, tgt):
-        def shard_fn(params, key, px, py, tgt):
+    def sharded_grads(params, key, px, py, tgt, w):
+        def shard_fn(params, key, px, py, tgt, w):
             # RNG is pixel-keyed; no per-shard decorrelation needed.
-            loss, grads = jax.value_and_grad(local_loss)(params, key, px, py, tgt)
-            # All-reduce over ICI: shared params, sharded pixels.
-            grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
-            return jax.lax.pmean(loss, axis), grads
+            loss, grads = jax.value_and_grad(local_loss)(params, key, px, py, tgt, w)
+            # All-reduce over ICI: shared params, sharded pixels. The
+            # weights sum to 1 globally, so psum (not pmean) completes
+            # the weighted mean exactly — padding contributes nothing.
+            grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+            return jax.lax.psum(loss, axis), grads
 
         return shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
-        )(params, key, px, py, tgt)
+        )(params, key, px, py, tgt, w)
 
     @jax.jit
     def train_step(params, adam_state, key):
-        loss, grads = sharded_grads(params, key, px, py, tgt)
+        loss, grads = sharded_grads(params, key, px, py, tgt, w)
         adam_state, params = adam_update(adam_state, grads, params, lr=lr)
         return params, adam_state, loss
 

@@ -69,21 +69,16 @@ def render_image_resumable(scene, cam, cfg, key, ckpt_path: str,
         )
 
     if integrator == "wavefront":
-        from raytracer_tpu.models.wavefront import (
-            _tiled_pixel_grid,
-            render_pixels_wavefront,
-        )
+        from raytracer_tpu.models.wavefront import _tiled_pixel_grid, wavefront_batch
 
         px, py, inv = _tiled_pixel_grid(cfg)
-        run = jax.jit(
-            lambda s_off, sp: render_pixels_wavefront(
-                scene, cam, px, py, cfg, key, spp=sp, sample_offset=s_off),
-            static_argnums=(1,),
-        )
         inv_np = np.asarray(inv)
         while done < cfg.spp:
             s = min(spp_per_batch, cfg.spp - done)
-            part = np.asarray(run(jnp.int32(done), s))[inv_np].reshape(h, w, 3)
+            part = np.asarray(
+                wavefront_batch(scene, cam, px, py, cfg, key, spp=s,
+                                sample_offset=jnp.int32(done))
+            )[inv_np].reshape(h, w, 3)
             acc = acc + part * s
             done += s
             save()

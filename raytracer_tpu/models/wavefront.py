@@ -177,6 +177,13 @@ def _tiled_pixel_grid(cfg: RenderConfig):
     return px, py, jnp.asarray(inv)
 
 
+# Module-level jitted entry: scene/camera/pixels/key are ARGUMENTS (one
+# compiled program per (cfg, spp) — scene edits, new keys, and sample
+# offsets all reuse it; see CLAUDE.md on closure recompiles).
+wavefront_batch = jax.jit(
+    render_pixels_wavefront, static_argnames=("cfg", "spp", "queue_size"))
+
+
 def render_image_wavefront(
     scene: Scene, cam: Camera, cfg: RenderConfig, key: jax.Array, spp: int | None = None
 ) -> jnp.ndarray:
@@ -187,20 +194,14 @@ def render_image_wavefront(
     spp = cfg.spp if spp is None else spp
     step = max(1, min(spp, cfg.spp_per_pass))
     if step >= spp:
-        rgb = render_pixels_wavefront(scene, cam, px, py, cfg, key, spp=spp)
+        rgb = wavefront_batch(scene, cam, px, py, cfg, key, spp=spp)
     else:
-        # sample_offset is a traced argument: every batch reuses ONE
-        # compiled program (only the batch spp is static).
-        run = jax.jit(
-            lambda s_off, sp: render_pixels_wavefront(
-                scene, cam, px, py, cfg, key, spp=sp, sample_offset=s_off),
-            static_argnums=(1,),
-        )
         acc = None
         done = 0
         while done < spp:
             s = min(step, spp - done)
-            part = run(jnp.int32(done), s) * (s / spp)
+            part = wavefront_batch(scene, cam, px, py, cfg, key, spp=s,
+                                   sample_offset=jnp.int32(done)) * (s / spp)
             acc = part if acc is None else acc + part
             done += s
         rgb = acc

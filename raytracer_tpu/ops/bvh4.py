@@ -67,6 +67,25 @@ def _leaf_code(lo: int, count: int) -> int:
     return -(2 + lo * 8 + (count - 1))
 
 
+def sort4_by_key(tm: jnp.ndarray, cc: jnp.ndarray):
+    """Vectorized 4-element sorting network over the trailing axis:
+    sorts keys `tm` [.,4] ascending, permuting payload `cc` alongside.
+    Shared by the BVH4 per-lane and packet traversals (child ordering)."""
+
+    def cswap(tm, cc, i, j):
+        swap = tm[:, i] > tm[:, j]
+        ti = jnp.where(swap, tm[:, j], tm[:, i])
+        tj = jnp.where(swap, tm[:, i], tm[:, j])
+        ci = jnp.where(swap, cc[:, j], cc[:, i])
+        cj = jnp.where(swap, cc[:, i], cc[:, j])
+        return (tm.at[:, i].set(ti).at[:, j].set(tj),
+                cc.at[:, i].set(ci).at[:, j].set(cj))
+
+    for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
+        tm, cc = cswap(tm, cc, i, j)
+    return tm, cc
+
+
 def build_bvh4(mesh: TriMesh, bvh: Bvh) -> Bvh4:
     """Host-side collapse of the binary LBVH into a BVH4."""
     face_mat_np = np.asarray(mesh.face_mat)

@@ -219,8 +219,8 @@ def trace_frame_fused(scene: Scene, origins, dirs, t_min, interpret=None,
         r_sel = jnp.where(better, jnp.where(sph.radius[s] != 0.0, sph.radius[s], 1.0), r_sel)
         m_sel = jnp.where(better, sph.mat_id[s], m_sel)
 
-    rec = trace_closest_pallas(origins, dirs, scene.bvh4, t_sph, sort=sort,
-                               interpret=interpret)
+    rec = trace_closest_pallas(origins, dirs, scene.bvh4, t_sph,
+                               t_min=float(t_min), sort=sort, interpret=interpret)
     tri_wins = rec["t"] < t_sph
     t = jnp.where(tri_wins, rec["t"], t_sph)
     hit = t < BIG

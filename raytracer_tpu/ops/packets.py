@@ -151,21 +151,10 @@ def intersect_bvh4_packets(
                 jnp.where(any_k, jnp.min(jnp.where(hit_k, tmin_k, BIG), axis=1), BIG)
             )
 
-        # Order children by the packet's nearest entry (4-net sort).
-        cc = ch
-        tm = gmin
+        # Order children by the packet's nearest entry (shared 4-net sort).
+        from raytracer_tpu.ops.bvh4 import sort4_by_key
 
-        def cswap(tm, cc, i, j):
-            swap = tm[:, i] > tm[:, j]
-            ti = jnp.where(swap, tm[:, j], tm[:, i])
-            tj = jnp.where(swap, tm[:, i], tm[:, j])
-            ci = jnp.where(swap, cc[:, j], cc[:, i])
-            cj = jnp.where(swap, cc[:, i], cc[:, j])
-            return (tm.at[:, i].set(ti).at[:, j].set(tj),
-                    cc.at[:, i].set(ci).at[:, j].set(cj))
-
-        for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
-            tm, cc = cswap(tm, cc, i, j)
+        tm, cc = sort4_by_key(gmin, ch)
         nhit = jnp.sum((tm < BIG).astype(jnp.int32), axis=1)  # [G]
 
         next_from_internal = jnp.where(nhit > 0, cc[:, 0], NONE)
@@ -196,7 +185,7 @@ def intersect_bvh4_packets(
             v = f * jnp.sum(d * q, axis=-1)
             ok &= (v >= 0.0) & (u + v <= 1.0)
             t = f * jnp.sum(e2 * q, axis=-1)
-            ok &= (t >= t_min) & (t <= t_best)
+            ok &= (t >= t_min) & (t < t_best)
             ok &= (is_leaf & (k < leaf_count))[:, None]
             t_best = jnp.where(ok, t, t_best)
             best = jnp.where(ok, bvh4.prim_index[slot][:, None], best)

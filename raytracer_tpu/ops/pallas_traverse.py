@@ -38,18 +38,35 @@ BIG = np.float32(3.0e38)
 P_SUB, P_LANE = 8, 128
 PACKET = P_SUB * P_LANE  # 1024 rays per program
 NONE = np.int32(-1)
+STACK_CAP = 256  # SMEM entries (1 KB); build asserts stack_depth <= this
+# Packets per kernel launch: bounds the launch's VMEM output staging.
+MAX_PACKETS_PER_CALL = 128
 
 
-def _kernel(bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
-            o_ref, d_ref, tlim_ref,
-            t_out_ref, id_out_ref, mat_out_ref, nx_out_ref, ny_out_ref, nz_out_ref,
-            stack_ref):
+def _make_kernel(t_min: float):
+    def kernel(bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
+               o_ref, d_ref, tlim_ref,
+               t_out_ref, id_out_ref, mat_out_ref, nx_out_ref, ny_out_ref, nz_out_ref):
+        def body_scoped(stack_ref):
+            _kernel_body(t_min, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
+                         o_ref, d_ref, tlim_ref,
+                         t_out_ref, id_out_ref, mat_out_ref,
+                         nx_out_ref, ny_out_ref, nz_out_ref, stack_ref)
+
+        pl.run_scoped(body_scoped, pltpu.SMEM((STACK_CAP,), jnp.int32))
+
+    return kernel
+
+
+def _kernel_body(t_min, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
+                 o_ref, d_ref, tlim_ref,
+                 t_out_ref, id_out_ref, mat_out_ref, nx_out_ref, ny_out_ref, nz_out_ref,
+                 stack_ref):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]          # (8,128)
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     ix = 1.0 / dx
     iy = 1.0 / dy
     iz = 1.0 / dz
-    t_min = 1e-3
 
     t_best0 = tlim_ref[0]                                        # (8,128)
     best0 = jnp.full((P_SUB, P_LANE), NONE, jnp.int32)
@@ -150,7 +167,7 @@ def _kernel(bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
             v = f * (dx * qx + dy * qy + dz * qz)
             ok &= (v >= 0.0) & (u + v <= 1.0)
             t = f * (e2x * qx + e2y * qy + e2z * qz)
-            ok &= (t >= t_min) & (t <= t_best)
+            ok &= (t >= t_min) & (t < t_best)
             ok &= is_leaf & (k < leaf_count)
             t_best = jnp.where(ok, t, t_best)
             # prim/fmat are [T,1] so these are aligned 2D scalar loads
@@ -182,49 +199,71 @@ def _kernel(bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
     nz_out_ref[0] = nz
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
 def _traverse_packets(bounds, children, tri, prim, fmat, o_pk, d_pk, tlim_pk,
-                      interpret=False):
+                      t_min=1e-3, interpret=False):
     g = o_pk.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bounds (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # children (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # prim (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # face materials (full)
-            pl.BlockSpec((1, 3, P_SUB, P_LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, P_SUB, P_LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P_SUB, P_LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, P_SUB, P_LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(6)
-        ],
-        scratch_shapes=[pltpu.SMEM((64,), jnp.int32)],
-    )
-    return pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.float32),
-            jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.int32),
-            jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.int32),
-            jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.float32),
-            jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.float32),
-            jax.ShapeDtypeStruct((g, P_SUB, P_LANE), jnp.float32),
-        ],
-        interpret=interpret,
-    )(bounds, children, tri, prim, fmat, o_pk, d_pk, tlim_pk)
+
+    def launch(args):
+        o_c, d_c, t_c = args
+        gc = o_c.shape[0]
+        grid_spec = pl.GridSpec(
+            grid=(gc,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bounds (full)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # children (full)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # tri (full)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # prim (full)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # face materials (full)
+                pl.BlockSpec((1, 3, P_SUB, P_LANE), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, P_SUB, P_LANE), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P_SUB, P_LANE), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, P_SUB, P_LANE), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(6)
+            ],
+        )
+        return pl.pallas_call(
+            _make_kernel(t_min),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.float32),
+                jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.int32),
+                jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.int32),
+                jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.float32),
+                jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.float32),
+                jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.float32),
+            ],
+            interpret=interpret,
+        )(bounds, children, tri, prim, fmat, o_c, d_c, t_c)
+
+    if g <= MAX_PACKETS_PER_CALL:
+        return launch((o_pk, d_pk, tlim_pk))
+
+    # Big wavefronts: map over fixed-size packet chunks so the launch's
+    # staging stays well inside VMEM (pad the last chunk).
+    chunk = MAX_PACKETS_PER_CALL
+    pad_g = (-g) % chunk
+    if pad_g:
+        o_pk = jnp.concatenate([o_pk, jnp.zeros((pad_g,) + o_pk.shape[1:], o_pk.dtype)])
+        d_pk = jnp.concatenate([d_pk, jnp.ones((pad_g,) + d_pk.shape[1:], d_pk.dtype)])
+        tlim_pk = jnp.concatenate(
+            [tlim_pk, jnp.full((pad_g,) + tlim_pk.shape[1:], -1.0, tlim_pk.dtype)])
+    n_chunks = (g + pad_g) // chunk
+    o_c = o_pk.reshape((n_chunks, chunk) + o_pk.shape[1:])
+    d_c = d_pk.reshape((n_chunks, chunk) + d_pk.shape[1:])
+    t_c = tlim_pk.reshape((n_chunks, chunk) + tlim_pk.shape[1:])
+    outs = jax.lax.map(launch, (o_c, d_c, t_c))
+    outs = [x.reshape((-1,) + x.shape[2:])[:g] for x in outs]
+    return tuple(outs)
 
 
-def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max,
+def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max, t_min: float = 1e-3,
                          sort: bool = True, interpret: bool = False):
     """Full closest-hit record via the Pallas packet kernel, with ZERO
     XLA gathers after the launch (the kernel returns the winning
@@ -233,7 +272,6 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max,
 
     Returns dict with t (BIG on miss), tri_id (original face order),
     mat_id, normal (unnormalized geometric cross(e1,e2)) — all [N].
-    Note t_min is fixed at 1e-3 inside the kernel (== RenderConfig.t_min).
     """
     n = origins.shape[0]
     t_hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -276,10 +314,12 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max,
     fmat = bvh4.face_mat
     if fmat is None:
         fmat = jnp.zeros((bvh4.tri.shape[0],), jnp.int32)
+    assert bvh4.stack_depth <= STACK_CAP, (
+        f"BVH4 stack bound {bvh4.stack_depth} exceeds kernel capacity {STACK_CAP}")
     t_pk, id_pk, m_pk, nx_pk, ny_pk, nz_pk = _traverse_packets(
         bvh4.bounds, bvh4.children, bvh4.tri,
         bvh4.prim_index.reshape(-1, 1), fmat.reshape(-1, 1),
-        o_pk, d_pk, tlim, interpret=interpret,
+        o_pk, d_pk, tlim, t_min=t_min, interpret=interpret,
     )
 
     if sort:
@@ -312,7 +352,6 @@ def intersect_bvh4_pallas(origins, dirs, bvh4: Bvh4, t_min, t_max,
                           sort: bool = True, interpret: bool = False):
     """Closest triangle hit via the Pallas packet kernel. Same contract
     as ops/bvh4.intersect_bvh4: (t f32[N] BIG-on-miss, tri_id i32[N])."""
-    del t_min  # fixed 1e-3 inside the kernel (cfg.t_min is 1e-3 everywhere)
-    rec = trace_closest_pallas(origins, dirs, bvh4, t_max, sort=sort,
-                               interpret=interpret)
+    rec = trace_closest_pallas(origins, dirs, bvh4, t_max, t_min=float(t_min),
+                               sort=sort, interpret=interpret)
     return rec["t"], rec["tri_id"]
