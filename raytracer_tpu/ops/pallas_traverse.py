@@ -43,43 +43,69 @@ STACK_CAP = 256  # SMEM entries (1 KB); build asserts stack_depth <= this
 MAX_PACKETS_PER_CALL = 128
 
 
-def _make_kernel(t_min: float):
+def _make_kernel(t_min: float, n_packets: int):
+    """Single-invocation kernel: loops over all `n_packets` packets with a
+    fori_loop (no Pallas grid — grid pipelining double-buffers the
+    VMEM-resident BVH tables per step and blows the VMEM budget)."""
+
     def kernel(bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
                o_ref, d_ref, tlim_ref,
                t_out_ref, id_out_ref, mat_out_ref, nx_out_ref, ny_out_ref, nz_out_ref):
         def body_scoped(stack_ref):
-            _kernel_body(t_min, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
-                         o_ref, d_ref, tlim_ref,
-                         t_out_ref, id_out_ref, mat_out_ref,
-                         nx_out_ref, ny_out_ref, nz_out_ref, stack_ref)
+            def per_packet(p, _):
+                _kernel_body(t_min, p, bounds_ref, children_ref, tri_ref, prim_ref,
+                             fmat_ref, o_ref, d_ref, tlim_ref,
+                             t_out_ref, id_out_ref, mat_out_ref,
+                             nx_out_ref, ny_out_ref, nz_out_ref, stack_ref)
+                return 0
+
+            jax.lax.fori_loop(0, n_packets, per_packet, 0)
 
         pl.run_scoped(body_scoped, pltpu.SMEM((STACK_CAP,), jnp.int32))
 
     return kernel
 
 
-def _kernel_body(t_min, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
+def _kernel_body(t_min, p, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
                  o_ref, d_ref, tlim_ref,
                  t_out_ref, id_out_ref, mat_out_ref, nx_out_ref, ny_out_ref, nz_out_ref,
                  stack_ref):
-    ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]          # (8,128)
-    dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+    # All tables arrive FLATTENED to [-1, 128] (lane-aligned): natural
+    # [T, 9]/[T, 1] layouts get lane-padded to 128 columns in VMEM
+    # (observed 40 MB for a 3 MB table), so elements are fetched with
+    # scalar loads at computed flat offsets instead.
+    def fl_f(ref, idx):
+        return ref[idx // P_LANE, idx % P_LANE]
+
+    n_tris = (prim_ref.shape[0] * P_LANE)  # padded bound; true T <= this
+    o_pk = o_ref[pl.ds(p, 1)][0]                                 # (3,8,128)
+    d_pk = d_ref[pl.ds(p, 1)][0]
+    ox, oy, oz = o_pk[0], o_pk[1], o_pk[2]                       # (8,128)
+    dx, dy, dz = d_pk[0], d_pk[1], d_pk[2]
     ix = 1.0 / dx
     iy = 1.0 / dy
     iz = 1.0 / dz
 
-    t_best0 = tlim_ref[0]                                        # (8,128)
+    t_best0 = tlim_ref[pl.ds(p, 1)][0]                           # (8,128)
     best0 = jnp.full((P_SUB, P_LANE), NONE, jnp.int32)
     mat0 = jnp.zeros((P_SUB, P_LANE), jnp.int32)
     n0 = jnp.zeros((P_SUB, P_LANE), jnp.float32)
 
-    # Root box = union of the root node's child boxes.
-    rb = bounds_ref[0]                                           # (4,6)
-    rlo_x = jnp.min(rb[:, 0]); rlo_y = jnp.min(rb[:, 1]); rlo_z = jnp.min(rb[:, 2])
-    finite = rb[:, 3] > -BIG
-    rhi_x = jnp.max(jnp.where(finite, rb[:, 3], -BIG))
-    rhi_y = jnp.max(jnp.where(finite, rb[:, 4], -BIG))
-    rhi_z = jnp.max(jnp.where(finite, rb[:, 5], -BIG))
+    # Root box = union of the root node's child boxes (flat reads of
+    # node 0's 4x6 floats; empty slots hold +inf/-inf).
+    rb = [[fl_f(bounds_ref, jnp.int32(k * 6 + j)) for j in range(6)] for k in range(4)]
+    finite = [rb[k][3] > -BIG for k in range(4)]
+    neg = jnp.float32(-BIG)
+    rlo_x = jnp.minimum(jnp.minimum(rb[0][0], rb[1][0]), jnp.minimum(rb[2][0], rb[3][0]))
+    rlo_y = jnp.minimum(jnp.minimum(rb[0][1], rb[1][1]), jnp.minimum(rb[2][1], rb[3][1]))
+    rlo_z = jnp.minimum(jnp.minimum(rb[0][2], rb[1][2]), jnp.minimum(rb[2][2], rb[3][2]))
+
+    def fmax4(vals):
+        return jnp.maximum(jnp.maximum(vals[0], vals[1]), jnp.maximum(vals[2], vals[3]))
+
+    rhi_x = fmax4([jnp.where(finite[k], rb[k][3], neg) for k in range(4)])
+    rhi_y = fmax4([jnp.where(finite[k], rb[k][4], neg) for k in range(4)])
+    rhi_z = fmax4([jnp.where(finite[k], rb[k][5], neg) for k in range(4)])
 
     def slab(lx, ly, lz, hx, hy, hz, t_best):
         t0x = (lx - ox) * ix; t1x = (hx - ox) * ix
@@ -103,21 +129,21 @@ def _kernel_body(t_min, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
 
         # ---------- Internal node ----------
         ni = jnp.where(is_internal, task, 0)
-        nb = bounds_ref[pl.ds(ni, 1)][0]          # (4,6)
-        nch = children_ref[pl.ds(ni, 1)][0]       # (4,)
+        nb_base = ni * 24
+        nch = [fl_f(children_ref, ni * 4 + k) for k in range(4)]
 
         # Per-child packet test: any-ray-hit and packet-min entry t.
         tmins = []
         for k in range(4):
-            hk, tk = slab(nb[k, 0], nb[k, 1], nb[k, 2], nb[k, 3], nb[k, 4], nb[k, 5],
-                          t_best)
+            b6 = [fl_f(bounds_ref, nb_base + k * 6 + j) for j in range(6)]
+            hk, tk = slab(b6[0], b6[1], b6[2], b6[3], b6[4], b6[5], t_best)
             valid = is_internal & (nch[k] != NONE)
             any_k = jnp.any(hk) & valid
             tmins.append(jnp.where(any_k, jnp.min(jnp.where(hk, tk, BIG)), BIG))
 
         # Scalar 4-sort by entry t.
         tm = list(tmins)
-        cc = [nch[0], nch[1], nch[2], nch[3]]
+        cc = list(nch)
         for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
             swap = tm[i] > tm[j]
             tm[i], tm[j] = (jnp.where(swap, tm[j], tm[i]), jnp.where(swap, tm[i], tm[j]))
@@ -147,11 +173,13 @@ def _kernel_body(t_min, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
         leaf_count = code % 8 + 1
         is_leaf = task <= -2
         for k in range(MAX_LEAF):
-            slot = jnp.clip(leaf_lo + k, 0, tri_ref.shape[0] - 1)
-            tr = tri_ref[pl.ds(slot, 1), :][0]  # (9,)
-            v0x, v0y, v0z = tr[0], tr[1], tr[2]
-            e1x, e1y, e1z = tr[3], tr[4], tr[5]
-            e2x, e2y, e2z = tr[6], tr[7], tr[8]
+            # Clamp: for k >= leaf_count the load is masked out but must
+            # stay inside the (padded) flat table.
+            slot = jnp.minimum(leaf_lo + k, n_tris - 1)
+            tb = slot * 9
+            v0x, v0y, v0z = fl_f(tri_ref, tb), fl_f(tri_ref, tb + 1), fl_f(tri_ref, tb + 2)
+            e1x, e1y, e1z = fl_f(tri_ref, tb + 3), fl_f(tri_ref, tb + 4), fl_f(tri_ref, tb + 5)
+            e2x, e2y, e2z = fl_f(tri_ref, tb + 6), fl_f(tri_ref, tb + 7), fl_f(tri_ref, tb + 8)
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
@@ -170,10 +198,8 @@ def _kernel_body(t_min, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
             ok &= (t >= t_min) & (t < t_best)
             ok &= is_leaf & (k < leaf_count)
             t_best = jnp.where(ok, t, t_best)
-            # prim/fmat are [T,1] so these are aligned 2D scalar loads
-            # (Mosaic cannot do unaligned dynamic 1D i32 loads).
-            best = jnp.where(ok, prim_ref[pl.ds(slot, 1), :][0, 0], best)
-            mat = jnp.where(ok, fmat_ref[pl.ds(slot, 1), :][0, 0], mat)
+            best = jnp.where(ok, fl_f(prim_ref, slot), best)
+            mat = jnp.where(ok, fl_f(fmat_ref, slot), mat)
             # Geometric (unnormalized) face normal of the winning
             # triangle — normalized outside (reference Core/Mesh.cuh:303).
             nx = jnp.where(ok, e1y * e2z - e1z * e2y, nx)
@@ -191,12 +217,12 @@ def _kernel_body(t_min, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
     _, _, t_best, best, mat, nx, ny, nz = jax.lax.while_loop(
         cond, body, (start, jnp.int32(0), t_best0, best0, mat0, n0, n0, n0)
     )
-    t_out_ref[0] = t_best
-    id_out_ref[0] = best
-    mat_out_ref[0] = mat
-    nx_out_ref[0] = nx
-    ny_out_ref[0] = ny
-    nz_out_ref[0] = nz
+    t_out_ref[pl.ds(p, 1)] = t_best[None]
+    id_out_ref[pl.ds(p, 1)] = best[None]
+    mat_out_ref[pl.ds(p, 1)] = mat[None]
+    nx_out_ref[pl.ds(p, 1)] = nx[None]
+    ny_out_ref[pl.ds(p, 1)] = ny[None]
+    nz_out_ref[pl.ds(p, 1)] = nz[None]
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
@@ -207,30 +233,10 @@ def _traverse_packets(bounds, children, tri, prim, fmat, o_pk, d_pk, tlim_pk,
     def launch(args):
         o_c, d_c, t_c = args
         gc = o_c.shape[0]
-        grid_spec = pl.GridSpec(
-            grid=(gc,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # bounds (full)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # children (full)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # tri (full)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # prim (full)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # face materials (full)
-                pl.BlockSpec((1, 3, P_SUB, P_LANE), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, P_SUB, P_LANE), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, P_SUB, P_LANE), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, P_SUB, P_LANE), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-                for _ in range(6)
-            ],
-        )
         return pl.pallas_call(
-            _make_kernel(t_min),
-            grid_spec=grid_spec,
+            _make_kernel(t_min, gc),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_shape=[
                 jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.float32),
                 jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.int32),
@@ -239,8 +245,23 @@ def _traverse_packets(bounds, children, tri, prim, fmat, o_pk, d_pk, tlim_pk,
                 jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.float32),
                 jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(bounds, children, tri, prim, fmat, o_c, d_c, t_c)
+
+    def flat128(arr):
+        f = arr.reshape(-1)
+        padl = (-f.shape[0]) % P_LANE
+        if padl:
+            f = jnp.concatenate([f, jnp.zeros((padl,), f.dtype)])
+        return f.reshape(-1, P_LANE)
+
+    bounds = flat128(bounds)
+    children = flat128(children)
+    tri = flat128(tri)
+    prim = flat128(prim)
+    fmat = flat128(fmat)
 
     if g <= MAX_PACKETS_PER_CALL:
         return launch((o_pk, d_pk, tlim_pk))
@@ -317,8 +338,7 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max, t_min: float = 1e-3,
     assert bvh4.stack_depth <= STACK_CAP, (
         f"BVH4 stack bound {bvh4.stack_depth} exceeds kernel capacity {STACK_CAP}")
     t_pk, id_pk, m_pk, nx_pk, ny_pk, nz_pk = _traverse_packets(
-        bvh4.bounds, bvh4.children, bvh4.tri,
-        bvh4.prim_index.reshape(-1, 1), fmat.reshape(-1, 1),
+        bvh4.bounds, bvh4.children, bvh4.tri, bvh4.prim_index, fmat,
         o_pk, d_pk, tlim, t_min=t_min, interpret=interpret,
     )
 
