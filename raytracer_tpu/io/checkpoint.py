@@ -68,37 +68,12 @@ def render_image_resumable(scene, cam, cfg, key, ckpt_path: str,
             seed_hash=np.int64(_key_hash(key)),
         )
 
-    if integrator == "wavefront":
-        from raytracer_tpu.models.wavefront import _tiled_pixel_grid, wavefront_batch
+    from raytracer_tpu.render import iter_spp_accumulation
 
-        px, py, inv = _tiled_pixel_grid(cfg)
-        inv_np = np.asarray(inv)
-        while done < cfg.spp:
-            s = min(spp_per_batch, cfg.spp - done)
-            part = np.asarray(
-                wavefront_batch(scene, cam, px, py, cfg, key, spp=s,
-                                sample_offset=jnp.int32(done))
-            )[inv_np].reshape(h, w, 3)
-            acc = acc + part * s
-            done += s
-            save()
-        return jnp.asarray(acc / cfg.spp)
-
-    from raytracer_tpu.render import render_rows
-
-    rows_per_chunk = max(1, min(h, cfg.max_rays_per_pass // w))
-    while done < cfg.spp:
-        s = min(spp_per_batch, cfg.spp - done)
-        parts = []
-        for row0 in range(0, h, rows_per_chunk):
-            n_rows = min(rows_per_chunk, h - row0)
-            parts.append(
-                np.asarray(
-                    render_rows(scene, cam, cfg, row0, n_rows, s, key, sample_offset=done)
-                )
-            )
-        acc = acc + np.concatenate(parts, axis=0) * s
-        done += s
+    for done, batch_sum in iter_spp_accumulation(
+            scene, cam, cfg, key, integrator=integrator,
+            spp_per_batch=spp_per_batch, start_done=done):
+        acc = acc + batch_sum
         save()
     return jnp.asarray(acc / cfg.spp)
 

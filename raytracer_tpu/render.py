@@ -89,27 +89,59 @@ def render_rows(scene, cam, cfg: RenderConfig, row0, n_rows: int, spp: int, key,
     return rgb.reshape(n_rows, cfg.width, 3)
 
 
+def iter_spp_accumulation(scene, cam, cfg: RenderConfig, key,
+                          integrator: str = "wavefront",
+                          spp_per_batch: int | None = None,
+                          start_done: int = 0):
+    """Shared spp-batched accumulation driver (used by chunked,
+    progressive-preview, and resumable renders — one copy of the batch
+    sizing / sample-offset arithmetic). Yields (done_spp, batch_sum
+    np.f32[H,W,3]) where batch_sum is the SUM of that batch's samples
+    (divide the running total by done_spp for the current mean)."""
+    import numpy as np
+
+    spp_step = max(1, min(cfg.spp, spp_per_batch or cfg.spp_per_pass))
+    h, w = cfg.height, cfg.width
+    done = start_done
+    if integrator == "wavefront":
+        from raytracer_tpu.models.wavefront import _tiled_pixel_grid, wavefront_batch
+
+        px, py, inv = _tiled_pixel_grid(cfg)
+        inv_np = np.asarray(inv)
+        while done < cfg.spp:
+            s = min(spp_step, cfg.spp - done)
+            mean = np.asarray(
+                wavefront_batch(scene, cam, px, py, cfg, key, spp=s,
+                                sample_offset=jnp.int32(done)))[inv_np]
+            done += s
+            yield done, mean.reshape(h, w, 3) * s
+    else:
+        rows_per_chunk = max(1, min(h, cfg.max_rays_per_pass // w))
+        while done < cfg.spp:
+            s = min(spp_step, cfg.spp - done)
+            parts = []
+            for row0 in range(0, h, rows_per_chunk):
+                n_rows = min(rows_per_chunk, h - row0)
+                parts.append(np.asarray(
+                    render_rows(scene, cam, cfg, row0, n_rows, s, key,
+                                sample_offset=done)))
+            done += s
+            yield done, np.concatenate(parts, axis=0) * s
+
+
 def render_image_chunked(
     scene: Scene, cam: Camera, cfg: RenderConfig, key: jax.Array
 ) -> jnp.ndarray:
-    """Render in row-block chunks sized to cfg.max_rays_per_pass and spp
-    batches of cfg.spp_per_pass — bounds live wavefront memory for the
-    2K/2000spp workload (SURVEY.md §7 'Memory')."""
-    rows_per_chunk = max(1, min(cfg.height, cfg.max_rays_per_pass // cfg.width))
-    spp_step = max(1, min(cfg.spp, cfg.spp_per_pass))
+    """Row-chunked + spp-batched megakernel render — bounds live
+    wavefront memory for the 2K/2000spp workload (SURVEY.md §7 'Memory').
+    Identical image to render_image (sample-offset keying)."""
+    import numpy as np
 
-    out = []
-    for row0 in range(0, cfg.height, rows_per_chunk):
-        n_rows = min(rows_per_chunk, cfg.height - row0)
-        acc = jnp.zeros((n_rows, cfg.width, 3), jnp.float32)
-        done = 0
-        while done < cfg.spp:
-            s = min(spp_step, cfg.spp - done)
-            acc = acc + render_rows(scene, cam, cfg, row0, n_rows, s, key,
-                                    sample_offset=done) * (s / cfg.spp)
-            done += s
-        out.append(acc)
-    return jnp.concatenate(out, axis=0)
+    acc = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    for done, batch_sum in iter_spp_accumulation(scene, cam, cfg, key,
+                                                 integrator="megakernel"):
+        acc += batch_sum
+    return jnp.asarray(acc / cfg.spp)
 
 
 def tone_map_image(linear_rgb: jnp.ndarray) -> jnp.ndarray:

@@ -28,23 +28,14 @@ def progressive_render(
     Returns the final mean linear image. RNG is sample-keyed, so the
     result equals a single-pass render of the same cfg."""
     from raytracer_tpu.ops.tonemap import to_rgba8
-    from raytracer_tpu.render import render_rows
+    from raytracer_tpu.render import iter_spp_accumulation
     from raytracer_tpu.utils.image import write_png
 
-    step = spp_per_update or max(1, cfg.spp_per_pass)
-    h, w = cfg.height, cfg.width
-    rows_per_chunk = max(1, min(h, cfg.max_rays_per_pass // w))
-    acc = np.zeros((h, w, 3), np.float32)
-    done = 0
-    while done < cfg.spp:
-        s = min(step, cfg.spp - done)
-        parts = []
-        for row0 in range(0, h, rows_per_chunk):
-            n_rows = min(rows_per_chunk, h - row0)
-            parts.append(np.asarray(
-                render_rows(scene, cam, cfg, row0, n_rows, s, key, sample_offset=done)))
-        acc += np.concatenate(parts, axis=0) * s
-        done += s
+    acc = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    for done, batch_sum in iter_spp_accumulation(
+            scene, cam, cfg, key, integrator="megakernel",
+            spp_per_batch=spp_per_update):
+        acc += batch_sum
         preview = acc / done
         write_png(out_path, np.asarray(to_rgba8(preview)))
         if on_update:
