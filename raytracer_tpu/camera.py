@@ -60,10 +60,17 @@ def make_camera(
     """Defaults reproduce the reference setup (Raytracer.h:77-84,
     EntryPoint.cu:16-20): position (0,4,4), focus distance |pos-target|,
     yaw -90 / pitch 0 regardless of target."""
+    import numpy as np
+
     position = jnp.asarray(position, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     if focus_dist is None:
-        focus_dist = jnp.linalg.norm(position - target)
+        # Host-side norm: keeps scene setup free of tiny device programs
+        # (each costs a slow tunnel compile). Traced positions still work.
+        try:
+            focus_dist = float(np.linalg.norm(np.asarray(position) - np.asarray(target)))
+        except (TypeError, jax.errors.TracerArrayConversionError):
+            focus_dist = jnp.linalg.norm(position - target)
     return Camera(
         position=position,
         yaw=jnp.asarray(yaw, jnp.float32),

@@ -9,7 +9,6 @@ scenes are plain host-side constructors returning SoA pytrees.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from raytracer_tpu.scene.types import (
@@ -70,18 +69,17 @@ def add_reference_extras(
     append the hardcoded ground and mirror spheres (CUDAKernels.h:69-73)
     after the OBJ materials, exactly like createRandomWorld's
     addMaterial ordering."""
+    # Host-side numpy concatenation: device-side concats are tiny XLA
+    # programs whose tunnel compiles dominate scene build time.
     m = materials.count
-    mats = Materials(
-        type=jnp.concatenate([materials.type, jnp.asarray([LAMBERTIAN, METAL], jnp.int32)]),
-        albedo=jnp.concatenate(
-            [
-                materials.albedo,
-                jnp.asarray([GROUND_SPHERE["albedo"], MIRROR_SPHERE["albedo"]], jnp.float32),
-            ]
-        ),
-        emission=jnp.concatenate([materials.emission, jnp.zeros((2, 3), jnp.float32)]),
-        roughness=jnp.concatenate([materials.roughness, jnp.zeros((2,), jnp.float32)]),
-        ior=jnp.concatenate([materials.ior, jnp.ones((2,), jnp.float32)]),
+    mats = Materials.from_lists(
+        types=np.concatenate([np.asarray(materials.type), [LAMBERTIAN, METAL]]),
+        albedos=np.concatenate(
+            [np.asarray(materials.albedo),
+             np.asarray([GROUND_SPHERE["albedo"], MIRROR_SPHERE["albedo"]], np.float32)]),
+        emissions=np.concatenate([np.asarray(materials.emission), np.zeros((2, 3), np.float32)]),
+        roughnesses=np.concatenate([np.asarray(materials.roughness), np.zeros(2, np.float32)]),
+        iors=np.concatenate([np.asarray(materials.ior), np.ones(2, np.float32)]),
     )
     spheres = Spheres.from_lists(
         centers=[GROUND_SPHERE["center"], MIRROR_SPHERE["center"]],
@@ -136,18 +134,20 @@ def cornell_materials_scene(assets_dir: str = "assets/models") -> Scene:
     mesh, materials = load_scene_objs([paths["cornell"]])
     base = add_reference_extras(mesh, materials, name="cornell_materials")
     m = base.materials
-    mats = Materials(
-        type=jnp.concatenate([m.type, jnp.asarray([DIELECTRIC, METAL], jnp.int32)]),
-        albedo=jnp.concatenate([m.albedo, jnp.asarray([(1.0, 1.0, 1.0), (0.8, 0.7, 0.4)], jnp.float32)]),
-        emission=jnp.concatenate([m.emission, jnp.zeros((2, 3), jnp.float32)]),
-        roughness=jnp.concatenate([m.roughness, jnp.asarray([0.0, 0.25], jnp.float32)]),
-        ior=jnp.concatenate([m.ior, jnp.asarray([1.5, 1.0], jnp.float32)]),
+    mats = Materials.from_lists(
+        types=np.concatenate([np.asarray(m.type), [DIELECTRIC, METAL]]),
+        albedos=np.concatenate(
+            [np.asarray(m.albedo), np.asarray([(1.0, 1.0, 1.0), (0.8, 0.7, 0.4)], np.float32)]),
+        emissions=np.concatenate([np.asarray(m.emission), np.zeros((2, 3), np.float32)]),
+        roughnesses=np.concatenate([np.asarray(m.roughness), [0.0, 0.25]]).astype(np.float32),
+        iors=np.concatenate([np.asarray(m.ior), [1.5, 1.0]]).astype(np.float32),
     )
-    s = base.spheres
+    sp = base.spheres
     mcount = m.count
-    spheres = Spheres(
-        center=jnp.concatenate([s.center, jnp.asarray([(-0.08, -0.21, 0.05), (0.1, -0.23, 0.12)], jnp.float32)]),
-        radius=jnp.concatenate([s.radius, jnp.asarray([0.09, 0.07], jnp.float32)]),
-        mat_id=jnp.concatenate([s.mat_id, jnp.asarray([mcount, mcount + 1], jnp.int32)]),
+    spheres = Spheres.from_lists(
+        centers=np.concatenate(
+            [np.asarray(sp.center), np.asarray([(-0.08, -0.21, 0.05), (0.1, -0.23, 0.12)], np.float32)]),
+        radii=np.concatenate([np.asarray(sp.radius), [0.09, 0.07]]).astype(np.float32),
+        mat_ids=np.concatenate([np.asarray(sp.mat_id), [mcount, mcount + 1]]).astype(np.int32),
     )
     return Scene(materials=mats, spheres=spheres, mesh=base.mesh, name="cornell_materials")
