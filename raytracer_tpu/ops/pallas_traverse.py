@@ -4,22 +4,37 @@ Why this exists: on TPU, XLA lowers every gather (and any other
 non-fusible op) to a separate kernel thunk with a large fixed launch
 cost; a BVH traversal loop issues several per step, which measured
 ~0.6-0.75 ms *per traversal step* regardless of batch size. This kernel
-collapses the entire wavefront-vs-BVH query into ONE launch:
+collapses the entire wavefront-vs-BVH query into ONE launch.
 
-  * the whole BVH4 (child bounds [N4,4,6], child codes [N4,4]) and the
-    sorted triangle table ([T,9] packed v0/e1/e2 + [T] prim ids) are
-    VMEM-resident for the whole grid (≈4.5 MB for the 82k-tri scene),
-  * the grid runs one program per ray PACKET of 8×128 = 1024 rays
-    (pre-sorted by direction octant + origin Morton for coherence —
-    ops/packets._coherence_keys); each program walks its own scalar
-    node stack (SMEM) and tests child boxes / leaf triangles with full
-    (8,128)-tile VPU ops broadcast from (1,1) scalar slices,
-  * a packet descends into a child iff ANY of its rays hits the child
-    box; per-ray t_best keeps closest-hit exact (same slab +
-    Möller–Trumbore semantics as ops/bvh4.py, equivalence-tested).
+Mosaic (TPU) constraints that shaped the implementation — each was hit
+as a real compile error:
+  * no vector int indexing (gathers) in kernels,
+  * dynamic loads must be lane-aligned: even a single element is a
+    (1,1) vector load whose lane offset must be provably 0 (mod 128),
+  * VMEM arrays pad their trailing dim to 128 lanes — a [T,9] table
+    physically occupies [T,128] (40 MB for 82k tris),
+  * grid pipelining allocates per-step staging of whole-array inputs.
 
-Layout notes: rays enter as [G, 3, 8, 128] planes (x/y/z sublane-tiled),
-t limits as [G, 8, 128]; outputs are per-ray t and ORIGINAL face ids.
+Hence the layout: BVH4 nodes are packed FOUR per 128-lane row
+(32 lanes each: 24 bounds floats + 4 child ids bitcast to f32), and
+triangles EIGHT per row (16 lanes each: v0,e1,e2, prim id, material id).
+A record fetch is one dynamically-indexed aligned row load plus a
+static-slice select — no padding waste, no gathers. The kernel runs
+without a Pallas grid: a fori_loop walks all packets of one launch
+(grid pipelining would double-buffer the resident tables), each packet
+being 8×128 = 1024 rays whose slab tests and Möller–Trumbore run as
+full (8,128)-tile VPU ops against scalar-broadcast node data; each
+packet keeps a scalar node stack in SMEM. A packet descends into a
+child iff ANY of its rays hits the child box; per-ray t_best keeps
+closest-hit exact (equivalence-tested against brute force).
+
+Rays arrive pre-sorted for coherence — either by the wavefront's static
+8×128 screen-tile lane order (sort=False, the default fast path) or by
+a dynamic (direction octant, origin Morton) sort.
+
+The kernel also returns the winning triangle's material id and
+geometric normal so the wavefront's shade stage needs no table lookups
+(see ops/intersect.trace_frame_fused).
 """
 
 from __future__ import annotations
@@ -36,25 +51,65 @@ from raytracer_tpu.ops.bvh4 import MAX_LEAF, Bvh4
 
 BIG = np.float32(3.0e38)
 P_SUB, P_LANE = 8, 128
-PACKET = P_SUB * P_LANE  # 1024 rays per program
+PACKET = P_SUB * P_LANE  # 1024 rays per packet
 NONE = np.int32(-1)
 STACK_CAP = 256  # SMEM entries (1 KB); build asserts stack_depth <= this
-# Packets per kernel launch: bounds the launch's VMEM output staging.
+# Packets per kernel launch (bounds the launch's ray/output VMEM).
 MAX_PACKETS_PER_CALL = 128
+NODE_STRIDE = 32  # lanes per node record (4 per row)
+TRI_STRIDE = 16   # lanes per triangle record (8 per row)
+
+
+def _pack_tables(bvh4: Bvh4, fmat: jnp.ndarray):
+    """Host/jit-side packing into the kernel's aligned-row layout."""
+    n4 = bvh4.bounds.shape[0]
+    t = bvh4.tri.shape[0]
+
+    # Nodes: [ceil(n4/4), 128] f32; node n at row n//4, lanes 32*(n%4):
+    # child-box bounds (24: per child min x,y,z then max x,y,z) +
+    # child codes (4, bitcast i32→f32) + pad (4).
+    node_vals = jnp.concatenate(
+        [bvh4.bounds.reshape(n4, 24),
+         jax.lax.bitcast_convert_type(bvh4.children, jnp.float32),
+         jnp.zeros((n4, NODE_STRIDE - 28), jnp.float32)], axis=1)  # [n4,32]
+    pad_n = (-n4) % 4
+    if pad_n:
+        node_vals = jnp.concatenate(
+            [node_vals, jnp.zeros((pad_n, NODE_STRIDE), jnp.float32)])
+    node_pack = node_vals.reshape(-1, 4 * NODE_STRIDE)  # [ceil(n4/4),128]
+
+    # Triangles: [ceil(t/8), 128] f32; tri k at row k//8, lanes 16*(k%8):
+    # [v0(3) e1(3) e2(3) prim(bitcast) mat(bitcast) pad(5)].
+    tri_vals = jnp.concatenate(
+        [bvh4.tri,
+         jax.lax.bitcast_convert_type(bvh4.prim_index, jnp.float32)[:, None],
+         jax.lax.bitcast_convert_type(fmat, jnp.float32)[:, None],
+         jnp.zeros((t, TRI_STRIDE - 11), jnp.float32)], axis=1)  # [t,16]
+    # One extra full row of padding: leaf sweeps may probe up to
+    # slot = T-1 + (MAX_LEAF-1) with the result masked off.
+    pad_t = (-t) % 8 + 8
+    tri_vals = jnp.concatenate(
+        [tri_vals, jnp.zeros((pad_t, TRI_STRIDE), jnp.float32)])
+    tri_pack = tri_vals.reshape(-1, 8 * TRI_STRIDE)  # [ceil(t/8)+1,128]
+    return node_pack, tri_pack
+
+
+def _select_record(row, sub, n_options, stride):
+    """row: (1,128); sub: scalar in [0,n_options) → (1,stride) via a
+    static-slice select chain (dynamic lane offsets are not allowed)."""
+    rec = row[:, 0:stride]
+    for q in range(1, n_options):
+        rec = jnp.where(sub == q, row[:, q * stride:(q + 1) * stride], rec)
+    return rec
 
 
 def _make_kernel(t_min: float, n_packets: int):
-    """Single-invocation kernel: loops over all `n_packets` packets with a
-    fori_loop (no Pallas grid — grid pipelining double-buffers the
-    VMEM-resident BVH tables per step and blows the VMEM budget)."""
-
-    def kernel(bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
-               o_ref, d_ref, tlim_ref,
-               t_out_ref, id_out_ref, mat_out_ref, nx_out_ref, ny_out_ref, nz_out_ref):
+    def kernel(node_ref, tri_ref, o_ref, d_ref, tlim_ref,
+               t_out_ref, id_out_ref, mat_out_ref,
+               nx_out_ref, ny_out_ref, nz_out_ref):
         def body_scoped(stack_ref):
             def per_packet(p, _):
-                _kernel_body(t_min, p, bounds_ref, children_ref, tri_ref, prim_ref,
-                             fmat_ref, o_ref, d_ref, tlim_ref,
+                _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                              t_out_ref, id_out_ref, mat_out_ref,
                              nx_out_ref, ny_out_ref, nz_out_ref, stack_ref)
                 return 0
@@ -66,18 +121,9 @@ def _make_kernel(t_min: float, n_packets: int):
     return kernel
 
 
-def _kernel_body(t_min, p, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref,
-                 o_ref, d_ref, tlim_ref,
-                 t_out_ref, id_out_ref, mat_out_ref, nx_out_ref, ny_out_ref, nz_out_ref,
-                 stack_ref):
-    # All tables arrive FLATTENED to [-1, 128] (lane-aligned): natural
-    # [T, 9]/[T, 1] layouts get lane-padded to 128 columns in VMEM
-    # (observed 40 MB for a 3 MB table), so elements are fetched with
-    # scalar loads at computed flat offsets instead.
-    def fl_f(ref, idx):
-        return ref[idx // P_LANE, idx % P_LANE]
-
-    n_tris = (prim_ref.shape[0] * P_LANE)  # padded bound; true T <= this
+def _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
+                 t_out_ref, id_out_ref, mat_out_ref,
+                 nx_out_ref, ny_out_ref, nz_out_ref, stack_ref):
     o_pk = o_ref[pl.ds(p, 1)][0]                                 # (3,8,128)
     d_pk = d_ref[pl.ds(p, 1)][0]
     ox, oy, oz = o_pk[0], o_pk[1], o_pk[2]                       # (8,128)
@@ -91,21 +137,16 @@ def _kernel_body(t_min, p, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref
     mat0 = jnp.zeros((P_SUB, P_LANE), jnp.int32)
     n0 = jnp.zeros((P_SUB, P_LANE), jnp.float32)
 
-    # Root box = union of the root node's child boxes (flat reads of
-    # node 0's 4x6 floats; empty slots hold +inf/-inf).
-    rb = [[fl_f(bounds_ref, jnp.int32(k * 6 + j)) for j in range(6)] for k in range(4)]
-    finite = [rb[k][3] > -BIG for k in range(4)]
-    neg = jnp.float32(-BIG)
-    rlo_x = jnp.minimum(jnp.minimum(rb[0][0], rb[1][0]), jnp.minimum(rb[2][0], rb[3][0]))
-    rlo_y = jnp.minimum(jnp.minimum(rb[0][1], rb[1][1]), jnp.minimum(rb[2][1], rb[3][1]))
-    rlo_z = jnp.minimum(jnp.minimum(rb[0][2], rb[1][2]), jnp.minimum(rb[2][2], rb[3][2]))
+    def bval(rec, k, j):
+        """Child k's bound j within a (1,32) node record."""
+        return rec[0, k * 6 + j]
 
-    def fmax4(vals):
-        return jnp.maximum(jnp.maximum(vals[0], vals[1]), jnp.maximum(vals[2], vals[3]))
-
-    rhi_x = fmax4([jnp.where(finite[k], rb[k][3], neg) for k in range(4)])
-    rhi_y = fmax4([jnp.where(finite[k], rb[k][4], neg) for k in range(4)])
-    rhi_z = fmax4([jnp.where(finite[k], rb[k][5], neg) for k in range(4)])
+    def node_record(ni):
+        """→ (record (1,32) f32, children (1,4) i32)."""
+        row = node_ref[pl.ds(ni // 4, 1)]                        # (1,128)
+        rec = _select_record(row, ni % 4, 4, NODE_STRIDE)        # (1,32)
+        ch = jax.lax.bitcast_convert_type(rec[:, 24:28], jnp.int32)
+        return rec, ch
 
     def slab(lx, ly, lz, hx, hy, hz, t_best):
         t0x = (lx - ox) * ix; t1x = (hx - ox) * ix
@@ -117,7 +158,21 @@ def _kernel_body(t_min, p, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref
                            jnp.minimum(jnp.maximum(t0z, t1z), t_best))
         return tmax > tmin, tmin
 
-    rhit, _ = slab(rlo_x, rlo_y, rlo_z, rhi_x, rhi_y, rhi_z, t_best0)
+    # Root box = union of node 0's child boxes (static row-0 reads).
+    rec0 = node_ref[0:1, 0:NODE_STRIDE]
+    neg = jnp.float32(-BIG)
+    finite = [bval(rec0, k, 3) > -BIG for k in range(4)]
+
+    def min4(j):
+        return jnp.minimum(jnp.minimum(bval(rec0, 0, j), bval(rec0, 1, j)),
+                           jnp.minimum(bval(rec0, 2, j), bval(rec0, 3, j)))
+
+    def max4(j):
+        vals = [jnp.where(finite[k], bval(rec0, k, j), neg) for k in range(4)]
+        return jnp.maximum(jnp.maximum(vals[0], vals[1]),
+                           jnp.maximum(vals[2], vals[3]))
+
+    rhit, _ = slab(min4(0), min4(1), min4(2), max4(3), max4(4), max4(5), t_best0)
     start = jnp.where(jnp.any(rhit), 0, NONE)
 
     def cond(carry):
@@ -129,21 +184,19 @@ def _kernel_body(t_min, p, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref
 
         # ---------- Internal node ----------
         ni = jnp.where(is_internal, task, 0)
-        nb_base = ni * 24
-        nch = [fl_f(children_ref, ni * 4 + k) for k in range(4)]
+        rec, ch = node_record(ni)
 
-        # Per-child packet test: any-ray-hit and packet-min entry t.
         tmins = []
         for k in range(4):
-            b6 = [fl_f(bounds_ref, nb_base + k * 6 + j) for j in range(6)]
-            hk, tk = slab(b6[0], b6[1], b6[2], b6[3], b6[4], b6[5], t_best)
-            valid = is_internal & (nch[k] != NONE)
+            hk, tk = slab(bval(rec, k, 0), bval(rec, k, 1), bval(rec, k, 2),
+                          bval(rec, k, 3), bval(rec, k, 4), bval(rec, k, 5), t_best)
+            valid = is_internal & (ch[0, k] != NONE)
             any_k = jnp.any(hk) & valid
             tmins.append(jnp.where(any_k, jnp.min(jnp.where(hk, tk, BIG)), BIG))
 
-        # Scalar 4-sort by entry t.
+        # Scalar 4-sort by packet-entry t.
         tm = list(tmins)
-        cc = list(nch)
+        cc = [ch[0, 0], ch[0, 1], ch[0, 2], ch[0, 3]]
         for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
             swap = tm[i] > tm[j]
             tm[i], tm[j] = (jnp.where(swap, tm[j], tm[i]), jnp.where(swap, tm[i], tm[j]))
@@ -168,18 +221,18 @@ def _kernel_body(t_min, p, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref
         desc = jnp.where(is_internal & (nhit > 0), cc[0], NONE)
 
         # ---------- Leaf range ----------
-        code = jnp.where(task <= -2, -task - 2, 0)
+        is_leaf = task <= -2
+        code = jnp.where(is_leaf, -task - 2, 0)
         leaf_lo = code // 8
         leaf_count = code % 8 + 1
-        is_leaf = task <= -2
         for k in range(MAX_LEAF):
-            # Clamp: for k >= leaf_count the load is masked out but must
-            # stay inside the (padded) flat table.
-            slot = jnp.minimum(leaf_lo + k, n_tris - 1)
-            tb = slot * 9
-            v0x, v0y, v0z = fl_f(tri_ref, tb), fl_f(tri_ref, tb + 1), fl_f(tri_ref, tb + 2)
-            e1x, e1y, e1z = fl_f(tri_ref, tb + 3), fl_f(tri_ref, tb + 4), fl_f(tri_ref, tb + 5)
-            e2x, e2y, e2z = fl_f(tri_ref, tb + 6), fl_f(tri_ref, tb + 7), fl_f(tri_ref, tb + 8)
+            slot = leaf_lo + k  # padded rows keep the fetch in bounds
+            trow = tri_ref[pl.ds(slot // 8, 1)]                  # (1,128)
+            trec = _select_record(trow, slot % 8, 8, TRI_STRIDE)  # (1,16)
+            v0x, v0y, v0z = trec[0, 0], trec[0, 1], trec[0, 2]
+            e1x, e1y, e1z = trec[0, 3], trec[0, 4], trec[0, 5]
+            e2x, e2y, e2z = trec[0, 6], trec[0, 7], trec[0, 8]
+            ids = jax.lax.bitcast_convert_type(trec[:, 9:11], jnp.int32)
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
@@ -198,8 +251,8 @@ def _kernel_body(t_min, p, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref
             ok &= (t >= t_min) & (t < t_best)
             ok &= is_leaf & (k < leaf_count)
             t_best = jnp.where(ok, t, t_best)
-            best = jnp.where(ok, fl_f(prim_ref, slot), best)
-            mat = jnp.where(ok, fl_f(fmat_ref, slot), mat)
+            best = jnp.where(ok, ids[0, 0], best)
+            mat = jnp.where(ok, ids[0, 1], mat)
             # Geometric (unnormalized) face normal of the winning
             # triangle — normalized outside (reference Core/Mesh.cuh:303).
             nx = jnp.where(ok, e1y * e2z - e1z * e2y, nx)
@@ -226,7 +279,7 @@ def _kernel_body(t_min, p, bounds_ref, children_ref, tri_ref, prim_ref, fmat_ref
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
-def _traverse_packets(bounds, children, tri, prim, fmat, o_pk, d_pk, tlim_pk,
+def _traverse_packets(node_pack, tri_pack, o_pk, d_pk, tlim_pk,
                       t_min=1e-3, interpret=False):
     g = o_pk.shape[0]
 
@@ -235,7 +288,7 @@ def _traverse_packets(bounds, children, tri, prim, fmat, o_pk, d_pk, tlim_pk,
         gc = o_c.shape[0]
         return pl.pallas_call(
             _make_kernel(t_min, gc),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_shape=[
                 jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.float32),
@@ -248,26 +301,12 @@ def _traverse_packets(bounds, children, tri, prim, fmat, o_pk, d_pk, tlim_pk,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(bounds, children, tri, prim, fmat, o_c, d_c, t_c)
-
-    def flat128(arr):
-        f = arr.reshape(-1)
-        padl = (-f.shape[0]) % P_LANE
-        if padl:
-            f = jnp.concatenate([f, jnp.zeros((padl,), f.dtype)])
-        return f.reshape(-1, P_LANE)
-
-    bounds = flat128(bounds)
-    children = flat128(children)
-    tri = flat128(tri)
-    prim = flat128(prim)
-    fmat = flat128(fmat)
+        )(node_pack, tri_pack, o_c, d_c, t_c)
 
     if g <= MAX_PACKETS_PER_CALL:
         return launch((o_pk, d_pk, tlim_pk))
 
-    # Big wavefronts: map over fixed-size packet chunks so the launch's
-    # staging stays well inside VMEM (pad the last chunk).
+    # Big wavefronts: map over fixed-size packet chunks (pad the last).
     chunk = MAX_PACKETS_PER_CALL
     pad_g = (-g) % chunk
     if pad_g:
@@ -292,7 +331,7 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max, t_min: float = 1e-3,
     shade stage needs no table lookups).
 
     Returns dict with t (BIG on miss), tri_id (original face order),
-    mat_id, normal (unnormalized geometric cross(e1,e2)) — all [N].
+    mat_id, normal (unnormalized geometric cross(e1,e2)), hit — all [N].
     """
     n = origins.shape[0]
     t_hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -337,9 +376,9 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max, t_min: float = 1e-3,
         fmat = jnp.zeros((bvh4.tri.shape[0],), jnp.int32)
     assert bvh4.stack_depth <= STACK_CAP, (
         f"BVH4 stack bound {bvh4.stack_depth} exceeds kernel capacity {STACK_CAP}")
+    node_pack, tri_pack = _pack_tables(bvh4, fmat)
     t_pk, id_pk, m_pk, nx_pk, ny_pk, nz_pk = _traverse_packets(
-        bvh4.bounds, bvh4.children, bvh4.tri, bvh4.prim_index, fmat,
-        o_pk, d_pk, tlim, t_min=t_min, interpret=interpret,
+        node_pack, tri_pack, o_pk, d_pk, tlim, t_min=t_min, interpret=interpret,
     )
 
     if sort:
