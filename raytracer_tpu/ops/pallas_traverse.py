@@ -55,7 +55,7 @@ PACKET = P_SUB * P_LANE  # 1024 rays per packet
 NONE = np.int32(-1)
 STACK_CAP = 256  # SMEM entries (1 KB); build asserts stack_depth <= this
 # Packets per kernel launch (bounds the launch's ray/output VMEM).
-MAX_PACKETS_PER_CALL = 128
+MAX_PACKETS_PER_CALL = 1024
 NODE_STRIDE = 32  # lanes per node record (4 per row)
 TRI_STRIDE = 16   # lanes per triangle record (8 per row)
 
@@ -178,19 +178,15 @@ def _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
     def cond(carry):
         return carry[0] != NONE
 
-    def body(carry):
+    def internal_step(carry):
         task, sp, t_best, best, mat, nx, ny, nz = carry
-        is_internal = task >= 0
-
-        # ---------- Internal node ----------
-        ni = jnp.where(is_internal, task, 0)
-        rec, ch = node_record(ni)
+        rec, ch = node_record(task)
 
         tmins = []
         for k in range(4):
             hk, tk = slab(bval(rec, k, 0), bval(rec, k, 1), bval(rec, k, 2),
                           bval(rec, k, 3), bval(rec, k, 4), bval(rec, k, 5), t_best)
-            valid = is_internal & (ch[0, k] != NONE)
+            valid = ch[0, k] != NONE
             any_k = jnp.any(hk) & valid
             tmins.append(jnp.where(any_k, jnp.min(jnp.where(hk, tk, BIG)), BIG))
 
@@ -211,18 +207,19 @@ def _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
         # Push far-to-near (so nearer pops first); descend nearest.
         new_sp = sp
         for k in (3, 2, 1):
-            do_push = is_internal & (nhit > k)
+            do_push = nhit > k
 
             @pl.when(do_push)
             def _(k=k, s=new_sp):
                 stack_ref[s] = cc[k]
 
             new_sp = jnp.where(do_push, new_sp + 1, new_sp)
-        desc = jnp.where(is_internal & (nhit > 0), cc[0], NONE)
+        desc = jnp.where(nhit > 0, cc[0], NONE)
+        return desc, new_sp, t_best, best, mat, nx, ny, nz
 
-        # ---------- Leaf range ----------
-        is_leaf = task <= -2
-        code = jnp.where(is_leaf, -task - 2, 0)
+    def leaf_step(carry):
+        task, sp, t_best, best, mat, nx, ny, nz = carry
+        code = -task - 2
         leaf_lo = code // 8
         leaf_count = code % 8 + 1
         for k in range(MAX_LEAF):
@@ -249,7 +246,7 @@ def _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
             ok &= (v >= 0.0) & (u + v <= 1.0)
             t = f * (e2x * qx + e2y * qy + e2z * qz)
             ok &= (t >= t_min) & (t < t_best)
-            ok &= is_leaf & (k < leaf_count)
+            ok &= k < leaf_count
             t_best = jnp.where(ok, t, t_best)
             best = jnp.where(ok, ids[0, 0], best)
             mat = jnp.where(ok, ids[0, 1], mat)
@@ -258,9 +255,14 @@ def _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
             nx = jnp.where(ok, e1y * e2z - e1z * e2y, nx)
             ny = jnp.where(ok, e1z * e2x - e1x * e2z, ny)
             nz = jnp.where(ok, e1x * e2y - e1y * e2x, nz)
+        return NONE, sp, t_best, best, mat, nx, ny, nz
 
-        # ---------- Next task ----------
-        next_task = jnp.where(is_internal, desc, NONE)
+    def body(carry):
+        # Branch on node type: internal visits skip the 4 Möller–Trumbore
+        # sweeps, leaf visits skip the child slab tests (~40% per-visit).
+        next_task, new_sp, t_best, best, mat, nx, ny, nz = jax.lax.cond(
+            carry[0] >= 0, internal_step, leaf_step, carry)
+
         do_pop = (next_task == NONE) & (new_sp > 0)
         popped = stack_ref[jnp.maximum(new_sp - 1, 0)]
         next_task = jnp.where(do_pop, popped, next_task)

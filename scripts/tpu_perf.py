@@ -88,5 +88,34 @@ def main():
     print(f"full 2K frame (cached): {dt:.2f}s -> {n*spp/dt/1e6:.2f} M rays/s", flush=True)
 
 
+def traversal_only():
+    """Isolate kernel time: interior rays, repeated traversal."""
+    from raytracer_tpu.utils import jaxcache
+
+    jaxcache.enable()
+    import numpy as np
+
+    from raytracer_tpu.ops.pallas_traverse import trace_closest_pallas
+    from raytracer_tpu.scene.builder import reference_scene
+
+    scene = reference_scene(assets_dir="assets/models", build_bvh=True)
+    rng = np.random.default_rng(0)
+    n = 131072  # 128 packets
+    o = jax.device_put(rng.uniform(-0.28, 0.28, (n, 3)).astype(np.float32))
+    dd = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jax.device_put((dd / np.linalg.norm(dd, axis=1, keepdims=True)).astype(np.float32))
+    f = jax.jit(lambda o, d: trace_closest_pallas(o, d, scene.bvh4, 3e38, sort=False)["t"])
+    t = f(o, d); t.block_until_ready()
+    for i in range(3):
+        t0 = time.perf_counter()
+        tt = f(o, d); tt.block_until_ready()
+        dt = time.perf_counter() - t0
+        print(f"traversal-only interior: {dt*1e3:.1f} ms -> {n/dt/1e6:.2f} M rays/s "
+              f"(hit {float((np.asarray(tt) < 1e30).mean()):.2f})", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--trav" in sys.argv:
+        traversal_only()
+    else:
+        main()
