@@ -31,7 +31,7 @@ from raytracer_tpu.scene.types import Bvh, TriMesh, _pytree
 
 BIG = np.float32(3.0e38)
 STACK_DEPTH = 48
-MAX_LEAF = 4  # triangles per leaf range (≤8 encodable)
+MAX_LEAF = 8  # triangles per leaf range (≤8 encodable; one packed table row)
 
 
 @_pytree(meta=["stack_depth"])
@@ -65,6 +65,42 @@ def compute_stack_depth(children: np.ndarray) -> int:
 
 def _leaf_code(lo: int, count: int) -> int:
     return -(2 + lo * 8 + (count - 1))
+
+
+def align_leaves_to_rows(children: np.ndarray, tri: np.ndarray,
+                         prim_index: np.ndarray, face_mat: np.ndarray):
+    """Re-pack sorted triangles so every leaf range starts at a multiple
+    of 8: one leaf == one 128-lane row of the Pallas kernel's packed
+    triangle table (8 records x 16 lanes), fetched with a single aligned
+    row load and STATIC record slices. Padding slots hold degenerate
+    triangles (e1=e2=0 -> Möller–Trumbore rejects at the determinant
+    epsilon) and are additionally gated by the leaf count.
+
+    Returns (children, tri, prim_index, face_mat) with len(tri) % 8 == 0.
+    Works for both the Python LBVH collapse and the native SAH builder
+    (leaf ranges are disjoint in both)."""
+    ch = children.copy()
+    flat = ch.reshape(-1)
+    leaf_mask = flat <= -2
+    codes = -flat[leaf_mask] - 2
+    los = codes // 8
+    counts = codes % 8 + 1
+    nleaf = los.shape[0]
+    order = np.argsort(los, kind="stable")  # preserve sorted-slot locality
+    new_tri = np.zeros((8 * nleaf, tri.shape[1]), tri.dtype)
+    new_prim = np.zeros((8 * nleaf,), prim_index.dtype)
+    new_fmat = np.zeros((8 * nleaf,), face_mat.dtype)
+    new_codes = np.empty((nleaf,), np.int64)
+    for i in range(nleaf):
+        li = int(order[i])
+        lo = int(los[li])
+        cnt = int(counts[li])
+        new_tri[8 * i:8 * i + cnt] = tri[lo:lo + cnt]
+        new_prim[8 * i:8 * i + cnt] = prim_index[lo:lo + cnt]
+        new_fmat[8 * i:8 * i + cnt] = face_mat[lo:lo + cnt]
+        new_codes[li] = _leaf_code(8 * i, cnt)
+    flat[leaf_mask] = new_codes.astype(flat.dtype)
+    return ch, new_tri, new_prim, new_fmat
 
 
 def sort4_by_key(tm: jnp.ndarray, cc: jnp.ndarray):
@@ -164,7 +200,7 @@ def build_bvh4(mesh: TriMesh, bvh: Bvh) -> Bvh4:
                 else:
                     children[idx, slot] = bvh4_id[c]
 
-    # Triangle data in sorted leaf order.
+    # Triangle data in sorted leaf order, leaf rows 8-aligned.
     verts = np.asarray(mesh.vertices)
     faces = np.asarray(mesh.faces)[prim_index]
     v0 = verts[faces[:, 0]]
@@ -172,12 +208,15 @@ def build_bvh4(mesh: TriMesh, bvh: Bvh) -> Bvh4:
     e2 = verts[faces[:, 2]] - v0
 
     tri = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
+    children, tri, prim_al, fmat_al = align_leaves_to_rows(
+        children, tri, prim_index.astype(np.int32),
+        face_mat_np[prim_index].astype(np.int32))
     return Bvh4(
         bounds=jnp.asarray(bounds),
         children=jnp.asarray(children),
         tri=jnp.asarray(tri),
-        prim_index=jnp.asarray(prim_index.astype(np.int32)),
-        face_mat=jnp.asarray(face_mat_np[prim_index].astype(np.int32)),
+        prim_index=jnp.asarray(prim_al),
+        face_mat=jnp.asarray(fmat_al),
         stack_depth=compute_stack_depth(children),
     )
 

@@ -17,16 +17,23 @@ as a real compile error:
 
 Hence the layout: BVH4 nodes are packed FOUR per 128-lane row
 (32 lanes each: 24 bounds floats + 4 child ids bitcast to f32), and
-triangles EIGHT per row (16 lanes each: v0,e1,e2, prim id, material id).
-A record fetch is one dynamically-indexed aligned row load plus a
-static-slice select — no padding waste, no gathers. The kernel runs
-without a Pallas grid: a fori_loop walks all packets of one launch
-(grid pipelining would double-buffer the resident tables), each packet
-being 8×128 = 1024 rays whose slab tests and Möller–Trumbore run as
-full (8,128)-tile VPU ops against scalar-broadcast node data; each
-packet keeps a scalar node stack in SMEM. A packet descends into a
-child iff ANY of its rays hits the child box; per-ray t_best keeps
-closest-hit exact (equivalence-tested against brute force).
+triangles EIGHT per row (16 lanes each: v0,e1,e2, prim id, material id)
+with every LEAF 8-aligned to one row (bvh4.align_leaves_to_rows) — a
+leaf visit is ONE dynamically-indexed aligned row load and 8 static
+record slices. The kernel runs without a Pallas grid: a fori_loop walks
+all packets of one launch (grid pipelining would double-buffer the
+resident tables), each packet being 8×128 = 1024 rays whose slab tests
+and Möller–Trumbore run as full (8,128)-tile VPU ops against
+scalar-broadcast node data; each packet keeps a scalar node stack in
+SMEM. A packet descends into a child iff ANY of its rays hits the child
+box; per-ray t_best keeps closest-hit exact (equivalence-tested against
+brute force).
+
+Per-visit cost discipline (measured ~1 µs/visit before, dominated by
+cross-lane reductions and branches, not vector math): an internal visit
+does exactly TWO full-vreg reductions (bit-packed per-child hit counts),
+orders children by a representative-ray scalar key, and pushes with
+branchless clamped SMEM stores; a leaf visit does zero reductions.
 
 Rays arrive pre-sorted for coherence — either by the wavefront's static
 8×128 screen-tile lane order (sort=False, the default fast path) or by
@@ -47,15 +54,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracer_tpu.ops.bvh4 import MAX_LEAF, Bvh4
+from raytracer_tpu.ops.bvh4 import Bvh4
 
 BIG = np.float32(3.0e38)
+HALF_BIG = np.float32(1.5e38)  # orders rep-miss (but visited) children last
 P_SUB, P_LANE = 8, 128
 PACKET = P_SUB * P_LANE  # 1024 rays per packet
 NONE = np.int32(-1)
 STACK_CAP = 256  # SMEM entries (1 KB); build asserts stack_depth <= this
 # Packets per kernel launch (bounds the launch's ray/output VMEM).
-MAX_PACKETS_PER_CALL = 1024
+MAX_PACKETS_PER_CALL = 512  # bounds ray/output VMEM alongside the tables
 NODE_STRIDE = 32  # lanes per node record (4 per row)
 TRI_STRIDE = 16   # lanes per triangle record (8 per row)
 
@@ -78,19 +86,18 @@ def _pack_tables(bvh4: Bvh4, fmat: jnp.ndarray):
             [node_vals, jnp.zeros((pad_n, NODE_STRIDE), jnp.float32)])
     node_pack = node_vals.reshape(-1, 4 * NODE_STRIDE)  # [ceil(n4/4),128]
 
-    # Triangles: [ceil(t/8), 128] f32; tri k at row k//8, lanes 16*(k%8):
+    # Triangles: [t/8, 128] f32; tri k at row k//8, lanes 16*(k%8):
     # [v0(3) e1(3) e2(3) prim(bitcast) mat(bitcast) pad(5)].
+    # Leaf ranges are 8-aligned (bvh4.align_leaves_to_rows), so one leaf
+    # == one row and t % 8 == 0; the kernel fetches a leaf with a single
+    # aligned row load and static record slices.
+    assert t % 8 == 0, "Bvh4 triangle table must be leaf-row aligned"
     tri_vals = jnp.concatenate(
         [bvh4.tri,
          jax.lax.bitcast_convert_type(bvh4.prim_index, jnp.float32)[:, None],
          jax.lax.bitcast_convert_type(fmat, jnp.float32)[:, None],
          jnp.zeros((t, TRI_STRIDE - 11), jnp.float32)], axis=1)  # [t,16]
-    # One extra full row of padding: leaf sweeps may probe up to
-    # slot = T-1 + (MAX_LEAF-1) with the result masked off.
-    pad_t = (-t) % 8 + 8
-    tri_vals = jnp.concatenate(
-        [tri_vals, jnp.zeros((pad_t, TRI_STRIDE), jnp.float32)])
-    tri_pack = tri_vals.reshape(-1, 8 * TRI_STRIDE)  # [ceil(t/8)+1,128]
+    tri_pack = tri_vals.reshape(-1, 8 * TRI_STRIDE)  # [t/8,128]
     return node_pack, tri_pack
 
 
@@ -182,50 +189,59 @@ def _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
         task, sp, t_best, best, mat, nx, ny, nz = carry
         rec, ch = node_record(task)
 
-        tmins = []
+        # Slab-test all 4 children; the ONLY cross-lane reductions are
+        # two bit-packed hit-count sums (counts <= 1024 fit 16 bits) —
+        # full-vreg reductions are the dominant per-visit cost, so the
+        # 4x any + 4x min of the previous version are collapsed here.
+        hks, tks = [], []
         for k in range(4):
             hk, tk = slab(bval(rec, k, 0), bval(rec, k, 1), bval(rec, k, 2),
                           bval(rec, k, 3), bval(rec, k, 4), bval(rec, k, 5), t_best)
-            valid = ch[0, k] != NONE
-            any_k = jnp.any(hk) & valid
-            tmins.append(jnp.where(any_k, jnp.min(jnp.where(hk, tk, BIG)), BIG))
+            hks.append(hk)
+            tks.append(tk)
+        pa = jnp.sum(hks[0].astype(jnp.int32) + (hks[1].astype(jnp.int32) << 16))
+        pb = jnp.sum(hks[2].astype(jnp.int32) + (hks[3].astype(jnp.int32) << 16))
+        anyk = [(pa & 0xFFFF) > 0, (pa >> 16) > 0, (pb & 0xFFFF) > 0, (pb >> 16) > 0]
+        # Empty slots carry (+inf,-inf) boxes, which the UNORDERED slab
+        # reads as tmin=-inf -> "hit"; gate them out with scalar ANDs.
+        anyk = [a & (ch[0, k] != NONE) for k, a in enumerate(anyk)]
+        nhit = (anyk[0].astype(jnp.int32) + anyk[1].astype(jnp.int32)
+                + anyk[2].astype(jnp.int32) + anyk[3].astype(jnp.int32))
 
-        # Scalar 4-sort by packet-entry t.
-        tm = list(tmins)
+        # Child ordering by a REPRESENTATIVE ray (lane (0,0)): a scalar
+        # heuristic, free of reductions. Visited children whose rep ray
+        # misses order after rep-hit ones; correctness is unaffected
+        # (per-ray t_best keeps closest-hit exact in any visit order).
+        tm = [jnp.where(anyk[k],
+                        jnp.where(hks[k], tks[k], HALF_BIG)[0, 0],
+                        BIG) for k in range(4)]
         cc = [ch[0, 0], ch[0, 1], ch[0, 2], ch[0, 3]]
         for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
             swap = tm[i] > tm[j]
             tm[i], tm[j] = (jnp.where(swap, tm[j], tm[i]), jnp.where(swap, tm[i], tm[j]))
             cc[i], cc[j] = (jnp.where(swap, cc[j], cc[i]), jnp.where(swap, cc[i], cc[j]))
-        nhit = (
-            (tm[0] < BIG).astype(jnp.int32)
-            + (tm[1] < BIG).astype(jnp.int32)
-            + (tm[2] < BIG).astype(jnp.int32)
-            + (tm[3] < BIG).astype(jnp.int32)
-        )
 
-        # Push far-to-near (so nearer pops first); descend nearest.
-        new_sp = sp
+        # Branchless far-to-near pushes: child k (k=1..nhit-1) belongs at
+        # sp + (nhit-1-k); non-pushed ks clamp to sp and are overwritten
+        # by the valid k stored later (decreasing k), or left dead below
+        # new_sp. No pl.when branches.
         for k in (3, 2, 1):
-            do_push = nhit > k
-
-            @pl.when(do_push)
-            def _(k=k, s=new_sp):
-                stack_ref[s] = cc[k]
-
-            new_sp = jnp.where(do_push, new_sp + 1, new_sp)
+            pos = sp + jnp.maximum(nhit - 1 - k, 0)
+            stack_ref[pos] = cc[k]
+        new_sp = sp + jnp.maximum(nhit - 1, 0)
         desc = jnp.where(nhit > 0, cc[0], NONE)
         return desc, new_sp, t_best, best, mat, nx, ny, nz
 
     def leaf_step(carry):
         task, sp, t_best, best, mat, nx, ny, nz = carry
         code = -task - 2
-        leaf_lo = code // 8
+        # Leaf rows are 8-aligned: lo = code//8 with lo%8 == 0, so the
+        # whole leaf is ONE row (code//64) and every record is a STATIC
+        # 16-lane slice — a single dynamic load per leaf visit.
         leaf_count = code % 8 + 1
-        for k in range(MAX_LEAF):
-            slot = leaf_lo + k  # padded rows keep the fetch in bounds
-            trow = tri_ref[pl.ds(slot // 8, 1)]                  # (1,128)
-            trec = _select_record(trow, slot % 8, 8, TRI_STRIDE)  # (1,16)
+        trow = tri_ref[pl.ds(code // 64, 1)]                     # (1,128)
+        for k in range(8):
+            trec = trow[:, k * TRI_STRIDE:(k + 1) * TRI_STRIDE]  # (1,16)
             v0x, v0y, v0z = trec[0, 0], trec[0, 1], trec[0, 2]
             e1x, e1y, e1z = trec[0, 3], trec[0, 4], trec[0, 5]
             e2x, e2y, e2z = trec[0, 6], trec[0, 7], trec[0, 8]

@@ -60,11 +60,14 @@ def _load():
     return lib
 
 
-def build_bvh4_native(mesh, max_leaf: int = 4):
+def build_bvh4_native(mesh, max_leaf: int | None = None):
     """TriMesh → ops/bvh4.Bvh4 via the native binned-SAH builder."""
     import jax.numpy as jnp
 
-    from raytracer_tpu.ops.bvh4 import Bvh4
+    from raytracer_tpu.ops.bvh4 import MAX_LEAF, Bvh4
+
+    if max_leaf is None:
+        max_leaf = MAX_LEAF
 
     lib = _load()
     verts = np.ascontiguousarray(np.asarray(mesh.vertices), np.float32)
@@ -90,14 +93,16 @@ def build_bvh4_native(mesh, max_leaf: int = 4):
     e1 = verts[fperm[:, 1]] - v0
     e2 = verts[fperm[:, 2]] - v0
     tri = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
-    from raytracer_tpu.ops.bvh4 import compute_stack_depth
+    from raytracer_tpu.ops.bvh4 import align_leaves_to_rows, compute_stack_depth
 
     face_mat = np.asarray(mesh.face_mat)[prim].astype(np.int32)
+    children_al, tri, prim, face_mat = align_leaves_to_rows(
+        children[:n4], tri, prim, face_mat)
     return Bvh4(
         bounds=jnp.asarray(bounds[:n4]),
-        children=jnp.asarray(children[:n4]),
+        children=jnp.asarray(children_al),
         tri=jnp.asarray(tri),
         prim_index=jnp.asarray(prim),
         face_mat=jnp.asarray(face_mat),
-        stack_depth=compute_stack_depth(children[:n4]),
+        stack_depth=compute_stack_depth(children_al),
     )

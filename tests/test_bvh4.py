@@ -36,14 +36,18 @@ def test_bvh4_leaf_ranges_cover_all_triangles():
     mesh = _random_mesh(t=211)
     b4 = build_bvh4(mesh, build_lbvh(mesh))
     children = np.asarray(b4.children)
-    covered = np.zeros(211, int)
+    prim = np.asarray(b4.prim_index)
+    covered = np.zeros(211, int)  # original-face coverage via prim_index
     for c in children.reshape(-1):
         if c <= -2:
             code = -c - 2
             lo, cnt = code // 8, code % 8 + 1
             assert cnt <= MAX_LEAF
-            covered[lo : lo + cnt] += 1
+            assert lo % 8 == 0  # leaf rows are 8-aligned (one table row)
+            for s in range(lo, lo + cnt):
+                covered[prim[s]] += 1
     assert (covered == 1).all()
+    assert np.asarray(b4.tri).shape[0] % 8 == 0
 
 
 def test_bvh4_respects_t_max():
