@@ -30,7 +30,7 @@ def main():
 
     jaxcache.enable()
 
-    from raytracer_tpu.camera import make_camera
+    from raytracer_tpu.camera import showcase_camera
     from raytracer_tpu.config import RenderConfig
     from raytracer_tpu.models.wavefront import render_image_wavefront
     from raytracer_tpu.scene.builder import reference_scene
@@ -54,10 +54,9 @@ def main():
         from raytracer_tpu.scene.builder import cornell_spheres_scene
 
         scene = cornell_spheres_scene()
-    cam = make_camera(
-        aspect_ratio=cfg.aspect_ratio, fov_degrees=cfg.fov_degrees,
-        aperture=cfg.aperture, position=(0.0, 0.35, 1.3), pitch=-12.0,
-    )
+    # Interior framing matching the reference's published screenshot:
+    # every pixel hits geometry (no free sky rays inflating rays/s).
+    cam = showcase_camera(cfg)
 
     if on_accel:
         def render(key):

@@ -46,6 +46,17 @@ class Camera:
     aspect_ratio: float        # static
 
 
+def showcase_camera(cfg) -> "Camera":
+    """The headline-benchmark framing: just inside the Cornell box's
+    opening, matching the reference's published screenshot
+    (Screenshots/Cornell-box-with-bunny.jpg — the camera is flown inside
+    with WASD before engaging HQ mode). Every pixel hits geometry, so
+    this is the honest workload for rays/s comparisons: colored walls,
+    pedestal + bunny, ceiling light, mirror sphere."""
+    return make_camera(aspect_ratio=cfg.aspect_ratio, fov_degrees=cfg.fov_degrees,
+                       aperture=cfg.aperture, position=(0.0, 0.05, 0.29), pitch=-5.0)
+
+
 def make_camera(
     aspect_ratio: float,
     fov_degrees: float = 80.0,

@@ -86,8 +86,9 @@ def main(argv=None):
         cam = make_camera(aspect_ratio=cfg.aspect_ratio, fov_degrees=cfg.fov_degrees,
                           aperture=cfg.aperture)
     else:
-        cam = make_camera(aspect_ratio=cfg.aspect_ratio, fov_degrees=cfg.fov_degrees,
-                          aperture=cfg.aperture, position=(0.0, 0.35, 1.3), pitch=-12.0)
+        from raytracer_tpu.camera import showcase_camera
+
+        cam = showcase_camera(cfg)
 
     key = jax.random.key(args.seed)
     import contextlib

@@ -33,6 +33,13 @@ class RenderConfig:
     max_rays_per_pass: int = 1 << 20
     # spp per inner accumulation pass (bounds peak memory for huge spp).
     spp_per_pass: int = 64
+    # Re-sort the live wavefront by (direction octant, origin Morton
+    # cell) before each bounce's traversal. MEASURED HARMFUL with the
+    # sub-warp kernel + two-level split (the argsort/permute gathers
+    # cost more than the saved traversal: 2K frame 3.7s -> 11.6s with
+    # sorting on); kept as an option for denser scenes. Only affects
+    # the fused Pallas path; results identical modulo closest-hit ties.
+    sort_rays: bool = False
 
     @property
     def aspect_ratio(self) -> float:

@@ -96,7 +96,11 @@ def render_pixels_wavefront(
 
         # --- One bounce for the whole queue.
         if use_fused:
-            fh = isect.trace_frame_fused(scene, origins, dirs, cfg.t_min)
+            # Only lanes surviving RR need this bounce's hit; the rest
+            # trace with t_lim=-1 (free at the packet level) — matters
+            # in the drain tail where few lanes remain live.
+            fh = isect.trace_frame_fused(scene, origins, dirs, cfg.t_min,
+                                         sort=cfg.sort_rays, active=survived_rr)
             ray_hit, point = fh.hit, fh.point
             sc = mat_ops.scatter_params(kb, dirs, fh.normal, fh.front_face, fh.params)
         else:

@@ -42,6 +42,15 @@ class Bvh4:
     tri: jnp.ndarray       # f32[T, 9] packed (v0,e1,e2) in SORTED leaf order
     prim_index: jnp.ndarray  # i32[T] sorted-slot → original face id
     face_mat: jnp.ndarray | None = None  # i32[T] material ids in SORTED order
+    # Two-level split (scene/builder.partition_brute_faces): a handful of
+    # LARGE triangles (Cornell walls/boxes/light) kept OUT of the tree
+    # and tested brute-force — a static vectorized pre-pass that primes
+    # t_best, after which most interior bounce rays never enter the tree
+    # at all (~3x fewer traversal iterations, scripts/divergence_study).
+    # Ids are ORIGINAL face indices; padded slots hold degenerate tris.
+    brute_tri: jnp.ndarray | None = None   # f32[Tb,9], Tb % 8 == 0
+    brute_prim: jnp.ndarray | None = None  # i32[Tb]
+    brute_mat: jnp.ndarray | None = None   # i32[Tb]
     stack_depth: int = STACK_DEPTH  # static: exact 3*tree-depth bound
 
 

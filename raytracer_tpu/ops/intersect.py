@@ -75,25 +75,43 @@ def intersect_scene(scene: Scene, origins, dirs, t_min, t_max=BIG) -> HitIds:
         origins, dirs, scene.spheres.center, scene.spheres.radius, t_min, t_max
     )
     if scene.bvh4 is not None:
+        # Two-level split: brute-test the large triangles first; the
+        # primed t_max culls most tree traversals (the Pallas kernel
+        # repeats this pre-pass internally — harmless and identical).
+        t_cap = jnp.minimum(ts, t_max)
+        tb = None
+        if scene.bvh4.brute_tri is not None:
+            tb, bslot = tri_ops.intersect_packed_brute(
+                origins, dirs, scene.bvh4.brute_tri, t_min, t_cap)
+            bprim = scene.bvh4.brute_prim[bslot]
+            t_cap = jnp.minimum(t_cap, tb)
         backend = _traversal_backend()
         if backend == "pallas" and origins.shape[0] >= PACKET_MIN_RAYS:
             from raytracer_tpu.ops import pallas_traverse
 
+            try:
+                interp = jax.devices()[0].platform != "tpu"
+            except Exception:
+                interp = True
             tt, tid = pallas_traverse.intersect_bvh4_pallas(
-                origins, dirs, scene.bvh4, t_min, jnp.minimum(ts, t_max)
+                origins, dirs, scene.bvh4, t_min, t_cap, interpret=interp
             )
         elif backend != "lane" and origins.shape[0] >= PACKET_MIN_RAYS:
             from raytracer_tpu.ops import packets
 
             tt, tid = packets.intersect_bvh4_packets(
-                origins, dirs, scene.bvh4, t_min, jnp.minimum(ts, t_max)
+                origins, dirs, scene.bvh4, t_min, t_cap
             )
         else:
             from raytracer_tpu.ops import bvh4 as bvh4_ops
 
             tt, tid = bvh4_ops.intersect_bvh4(
-                origins, dirs, scene.bvh4, t_min, jnp.minimum(ts, t_max)
+                origins, dirs, scene.bvh4, t_min, t_cap
             )
+        if tb is not None:
+            brute_wins = tb < tt
+            tt = jnp.where(brute_wins, tb, tt)
+            tid = jnp.where(brute_wins, bprim, tid)
     elif scene.bvh is not None:
         from raytracer_tpu.ops import traverse as trav
 
@@ -177,13 +195,18 @@ def fused_trace_available(scene: Scene, n_rays: int) -> bool:
 
 
 def trace_frame_fused(scene: Scene, origins, dirs, t_min, interpret=None,
-                      sort: bool = False) -> FrameHit:
+                      sort: bool = False, active=None) -> FrameHit:
     """Closest hit + per-lane material params with ZERO XLA gathers:
     spheres via an unrolled select sweep, triangles via the Pallas packet
     kernel (which returns mat id + geometric normal), material table via
     unrolled selects (ops/materials.lookup_params). Forward-only — used
     by the wavefront integrator; the differentiable megakernel path keeps
-    intersect_scene/shade_hit."""
+    intersect_scene/shade_hit.
+
+    `active` (bool[N], optional): lanes whose result is unused this
+    bounce (RR-killed, sample budget exhausted) get t_lim = -1, so they
+    never register packet hits and contribute ~zero traversal work —
+    crucial in the wavefront's drain tail where few lanes remain live."""
     from raytracer_tpu.ops import materials as mat_ops
     from raytracer_tpu.ops.pallas_traverse import trace_closest_pallas
 
@@ -219,7 +242,8 @@ def trace_frame_fused(scene: Scene, origins, dirs, t_min, interpret=None,
         r_sel = jnp.where(better, jnp.where(sph.radius[s] != 0.0, sph.radius[s], 1.0), r_sel)
         m_sel = jnp.where(better, sph.mat_id[s], m_sel)
 
-    rec = trace_closest_pallas(origins, dirs, scene.bvh4, t_sph,
+    t_lim = t_sph if active is None else jnp.where(active, t_sph, -1.0)
+    rec = trace_closest_pallas(origins, dirs, scene.bvh4, t_lim,
                                t_min=float(t_min), sort=sort, interpret=interpret)
     tri_wins = rec["t"] < t_sph
     t = jnp.where(tri_wins, rec["t"], t_sph)

@@ -92,13 +92,29 @@ def _pack_tables(bvh4: Bvh4, fmat: jnp.ndarray):
     # == one row and t % 8 == 0; the kernel fetches a leaf with a single
     # aligned row load and static record slices.
     assert t % 8 == 0, "Bvh4 triangle table must be leaf-row aligned"
-    tri_vals = jnp.concatenate(
-        [bvh4.tri,
-         jax.lax.bitcast_convert_type(bvh4.prim_index, jnp.float32)[:, None],
-         jax.lax.bitcast_convert_type(fmat, jnp.float32)[:, None],
-         jnp.zeros((t, TRI_STRIDE - 11), jnp.float32)], axis=1)  # [t,16]
-    tri_pack = tri_vals.reshape(-1, 8 * TRI_STRIDE)  # [t/8,128]
-    return node_pack, tri_pack
+    def pack_rows(tri9, prim, mat):
+        tt = tri9.shape[0]
+        vals = jnp.concatenate(
+            [tri9,
+             jax.lax.bitcast_convert_type(prim, jnp.float32)[:, None],
+             jax.lax.bitcast_convert_type(mat, jnp.float32)[:, None],
+             jnp.zeros((tt, TRI_STRIDE - 11), jnp.float32)], axis=1)  # [tt,16]
+        return vals.reshape(-1, 8 * TRI_STRIDE)  # [tt/8,128]
+
+    tri_pack = pack_rows(bvh4.tri, bvh4.prim_index, fmat)
+    n_leaf_rows = tri_pack.shape[0]
+    # Brute-force set (two-level split): packed as extra rows AFTER the
+    # leaf rows; the kernel sweeps them statically before traversal.
+    if bvh4.brute_tri is not None:
+        assert bvh4.brute_tri.shape[0] % 8 == 0
+        tri_pack = jnp.concatenate(
+            [tri_pack, pack_rows(bvh4.brute_tri, bvh4.brute_prim, bvh4.brute_mat)])
+    n_brute_rows = tri_pack.shape[0] - n_leaf_rows
+    # Trailing all-zero row: sub-warps not at a leaf read it and their
+    # degenerate records self-reject in Möller–Trumbore.
+    tri_pack = jnp.concatenate(
+        [tri_pack, jnp.zeros((1, 8 * TRI_STRIDE), jnp.float32)])
+    return node_pack, tri_pack, n_leaf_rows, n_brute_rows
 
 
 def _select_record(row, sub, n_options, stride):
@@ -110,27 +126,51 @@ def _select_record(row, sub, n_options, stride):
     return rec
 
 
-def _make_kernel(t_min: float, n_packets: int):
+def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
+                 brute_rows: tuple):
     def kernel(node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                t_out_ref, id_out_ref, mat_out_ref,
                nx_out_ref, ny_out_ref, nz_out_ref):
-        def body_scoped(stack_ref):
+        def body_scoped(task_ref, sp_ref, stack_ref):
             def per_packet(p, _):
-                _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
+                _kernel_body(t_min, stack_cap, zero_row, brute_rows, p,
+                             node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                              t_out_ref, id_out_ref, mat_out_ref,
-                             nx_out_ref, ny_out_ref, nz_out_ref, stack_ref)
+                             nx_out_ref, ny_out_ref, nz_out_ref,
+                             task_ref, sp_ref, stack_ref)
                 return 0
 
             jax.lax.fori_loop(0, n_packets, per_packet, 0)
 
-        pl.run_scoped(body_scoped, pltpu.SMEM((STACK_CAP,), jnp.int32))
+        pl.run_scoped(body_scoped,
+                      pltpu.SMEM((P_SUB,), jnp.int32),
+                      pltpu.SMEM((P_SUB,), jnp.int32),
+                      pltpu.SMEM((P_SUB * stack_cap,), jnp.int32))
 
     return kernel
 
 
-def _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
+def _kernel_body(t_min, stack_cap, zero_row, brute_rows, p,
+                 node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                  t_out_ref, id_out_ref, mat_out_ref,
-                 nx_out_ref, ny_out_ref, nz_out_ref, stack_ref):
+                 nx_out_ref, ny_out_ref, nz_out_ref,
+                 task_ref, sp_ref, stack_ref):
+    """SUB-WARP traversal: the 8 sublane rows of the (8,128) packet are
+    independent 128-ray sub-warps, each with its own SMEM stack. One
+    loop iteration advances every live sub-warp one node visit, so the
+    per-iteration overhead (loop machinery, serialized loads, scalar
+    decisions ≈ 1.2 µs measured for the packet-wide kernel) is amortized
+    8×, and the 'any ray hits → descend' divergence penalty applies to
+    128 rays instead of 1024 (≈4x fewer lockstep visits for incoherent
+    interior bounce rays, scripts/divergence_study.py).
+
+    The iteration is STRAIGHT-LINE (no lax.cond): every sub-warp does
+    both an internal expansion (4 slab tests with (8,1)-broadcast child
+    bounds) and a leaf sweep (8 Möller–Trumbore tests from one tri row).
+    Sub-warps not at an internal node have their slab results ignored in
+    the scalar decision phase; sub-warps not at a leaf read a dedicated
+    all-zero triangle row whose degenerate records self-reject at the
+    determinant epsilon — no vector masks anywhere."""
     o_pk = o_ref[pl.ds(p, 1)][0]                                 # (3,8,128)
     d_pk = d_ref[pl.ds(p, 1)][0]
     ox, oy, oz = o_pk[0], o_pk[1], o_pk[2]                       # (8,128)
@@ -144,18 +184,9 @@ def _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
     mat0 = jnp.zeros((P_SUB, P_LANE), jnp.int32)
     n0 = jnp.zeros((P_SUB, P_LANE), jnp.float32)
 
-    def bval(rec, k, j):
-        """Child k's bound j within a (1,32) node record."""
-        return rec[0, k * 6 + j]
-
-    def node_record(ni):
-        """→ (record (1,32) f32, children (1,4) i32)."""
-        row = node_ref[pl.ds(ni // 4, 1)]                        # (1,128)
-        rec = _select_record(row, ni % 4, 4, NODE_STRIDE)        # (1,32)
-        ch = jax.lax.bitcast_convert_type(rec[:, 24:28], jnp.int32)
-        return rec, ch
-
     def slab(lx, ly, lz, hx, hy, hz, t_best):
+        """Bounds are scalars or (8,1) per-sub-warp columns; rays are
+        (8,128) planes. Returns hit mask and entry t, both (8,128)."""
         t0x = (lx - ox) * ix; t1x = (hx - ox) * ix
         t0y = (ly - oy) * iy; t1y = (hy - oy) * iy
         t0z = (lz - oz) * iz; t1z = (hz - oz) * iz
@@ -165,128 +196,181 @@ def _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                            jnp.minimum(jnp.maximum(t0z, t1z), t_best))
         return tmax > tmin, tmin
 
-    # Root box = union of node 0's child boxes (static row-0 reads).
+    def mt_record(fields, prim, matid, state):
+        """Möller–Trumbore one triangle record against the whole tile.
+        `fields` = 9 values (v0,e1,e2 components), each a scalar or an
+        (8,1) per-sub-warp column; prim/matid likewise (i32). Degenerate
+        (all-zero) records self-reject at the determinant epsilon.
+        Returns the updated (t_best, best, mat, nx, ny, nz) state."""
+        t_best, best, mat, nx, ny, nz = state
+        v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = fields
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a) >= 1e-8
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        ok &= (u >= 0.0) & (u <= 1.0)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        ok &= (v >= 0.0) & (u + v <= 1.0)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok &= (t >= t_min) & (t < t_best)
+        t_best = jnp.where(ok, t, t_best)
+        best = jnp.where(ok, prim, best)
+        mat = jnp.where(ok, matid, mat)
+        # Geometric (unnormalized) face normal of the winning triangle —
+        # normalized outside (reference Core/Mesh.cuh:303).
+        nx = jnp.where(ok, e1y * e2z - e1z * e2y, nx)
+        ny = jnp.where(ok, e1z * e2x - e1x * e2z, ny)
+        nz = jnp.where(ok, e1x * e2y - e1y * e2x, nz)
+        return t_best, best, mat, nx, ny, nz
+
+    # Brute-force pre-pass (two-level split): sweep the large triangles
+    # from STATIC rows, priming t_best — after the split the root box
+    # only covers the dense mesh, so most packets never enter the tree.
+    state0 = (t_best0, best0, mat0, n0, n0, n0)
+    for r in brute_rows:
+        # Replicate the row across sublanes once (concatenate — a lazy
+        # broadcast_to gets folded and re-infers an unsupported
+        # (1,1)→(8,128) broadcast); per-field (8,1) slices then
+        # lane-broadcast, each step supported by Mosaic.
+        row = tri_ref[r:r + 1]
+        trow = jnp.concatenate([row] * P_SUB, axis=0)            # (8,128)
+        for k in range(8):
+            trec = trow[:, k * TRI_STRIDE:(k + 1) * TRI_STRIDE]  # (8,16)
+            ids = jax.lax.bitcast_convert_type(trec[:, 9:11], jnp.int32)
+            state0 = mt_record(tuple(trec[:, c:c + 1] for c in range(9)),
+                               ids[:, 0:1], ids[:, 1:2], state0)
+    t_best0, best0, mat0, n0x, n0y, n0z = state0
     rec0 = node_ref[0:1, 0:NODE_STRIDE]
     neg = jnp.float32(-BIG)
-    finite = [bval(rec0, k, 3) > -BIG for k in range(4)]
+
+    def bval0(k, j):
+        return rec0[0, k * 6 + j]
+
+    finite = [bval0(k, 3) > -BIG for k in range(4)]
 
     def min4(j):
-        return jnp.minimum(jnp.minimum(bval(rec0, 0, j), bval(rec0, 1, j)),
-                           jnp.minimum(bval(rec0, 2, j), bval(rec0, 3, j)))
+        return jnp.minimum(jnp.minimum(bval0(0, j), bval0(1, j)),
+                           jnp.minimum(bval0(2, j), bval0(3, j)))
 
     def max4(j):
-        vals = [jnp.where(finite[k], bval(rec0, k, j), neg) for k in range(4)]
+        vals = [jnp.where(finite[k], bval0(k, j), neg) for k in range(4)]
         return jnp.maximum(jnp.maximum(vals[0], vals[1]),
                            jnp.maximum(vals[2], vals[3]))
 
     rhit, _ = slab(min4(0), min4(1), min4(2), max4(3), max4(4), max4(5), t_best0)
-    start = jnp.where(jnp.any(rhit), 0, NONE)
+    alive_cnt = jnp.sum(rhit.astype(jnp.int32), axis=1, keepdims=True)  # (8,1)
+
+    n_alive0 = jnp.int32(0)
+    for s in range(P_SUB):
+        t0s = jnp.where(alive_cnt[s, 0] > 0, jnp.int32(0), NONE)
+        task_ref[s] = t0s
+        sp_ref[s] = jnp.int32(0)
+        n_alive0 += (t0s != NONE).astype(jnp.int32)
 
     def cond(carry):
-        return carry[0] != NONE
-
-    def internal_step(carry):
-        task, sp, t_best, best, mat, nx, ny, nz = carry
-        rec, ch = node_record(task)
-
-        # Slab-test all 4 children; the ONLY cross-lane reductions are
-        # two bit-packed hit-count sums (counts <= 1024 fit 16 bits) —
-        # full-vreg reductions are the dominant per-visit cost, so the
-        # 4x any + 4x min of the previous version are collapsed here.
-        hks, tks = [], []
-        for k in range(4):
-            hk, tk = slab(bval(rec, k, 0), bval(rec, k, 1), bval(rec, k, 2),
-                          bval(rec, k, 3), bval(rec, k, 4), bval(rec, k, 5), t_best)
-            hks.append(hk)
-            tks.append(tk)
-        pa = jnp.sum(hks[0].astype(jnp.int32) + (hks[1].astype(jnp.int32) << 16))
-        pb = jnp.sum(hks[2].astype(jnp.int32) + (hks[3].astype(jnp.int32) << 16))
-        anyk = [(pa & 0xFFFF) > 0, (pa >> 16) > 0, (pb & 0xFFFF) > 0, (pb >> 16) > 0]
-        # Empty slots carry (+inf,-inf) boxes, which the UNORDERED slab
-        # reads as tmin=-inf -> "hit"; gate them out with scalar ANDs.
-        anyk = [a & (ch[0, k] != NONE) for k, a in enumerate(anyk)]
-        nhit = (anyk[0].astype(jnp.int32) + anyk[1].astype(jnp.int32)
-                + anyk[2].astype(jnp.int32) + anyk[3].astype(jnp.int32))
-
-        # Child ordering by a REPRESENTATIVE ray (lane (0,0)): a scalar
-        # heuristic, free of reductions. Visited children whose rep ray
-        # misses order after rep-hit ones; correctness is unaffected
-        # (per-ray t_best keeps closest-hit exact in any visit order).
-        tm = [jnp.where(anyk[k],
-                        jnp.where(hks[k], tks[k], HALF_BIG)[0, 0],
-                        BIG) for k in range(4)]
-        cc = [ch[0, 0], ch[0, 1], ch[0, 2], ch[0, 3]]
-        for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
-            swap = tm[i] > tm[j]
-            tm[i], tm[j] = (jnp.where(swap, tm[j], tm[i]), jnp.where(swap, tm[i], tm[j]))
-            cc[i], cc[j] = (jnp.where(swap, cc[j], cc[i]), jnp.where(swap, cc[i], cc[j]))
-
-        # Branchless far-to-near pushes: child k (k=1..nhit-1) belongs at
-        # sp + (nhit-1-k); non-pushed ks clamp to sp and are overwritten
-        # by the valid k stored later (decreasing k), or left dead below
-        # new_sp. No pl.when branches.
-        for k in (3, 2, 1):
-            pos = sp + jnp.maximum(nhit - 1 - k, 0)
-            stack_ref[pos] = cc[k]
-        new_sp = sp + jnp.maximum(nhit - 1, 0)
-        desc = jnp.where(nhit > 0, cc[0], NONE)
-        return desc, new_sp, t_best, best, mat, nx, ny, nz
-
-    def leaf_step(carry):
-        task, sp, t_best, best, mat, nx, ny, nz = carry
-        code = -task - 2
-        # Leaf rows are 8-aligned: lo = code//8 with lo%8 == 0, so the
-        # whole leaf is ONE row (code//64) and every record is a STATIC
-        # 16-lane slice — a single dynamic load per leaf visit.
-        leaf_count = code % 8 + 1
-        trow = tri_ref[pl.ds(code // 64, 1)]                     # (1,128)
-        for k in range(8):
-            trec = trow[:, k * TRI_STRIDE:(k + 1) * TRI_STRIDE]  # (1,16)
-            v0x, v0y, v0z = trec[0, 0], trec[0, 1], trec[0, 2]
-            e1x, e1y, e1z = trec[0, 3], trec[0, 4], trec[0, 5]
-            e2x, e2y, e2z = trec[0, 6], trec[0, 7], trec[0, 8]
-            ids = jax.lax.bitcast_convert_type(trec[:, 9:11], jnp.int32)
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            ok = jnp.abs(a) >= 1e-8
-            f = 1.0 / jnp.where(ok, a, 1.0)
-            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            ok &= (u >= 0.0) & (u <= 1.0)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (dx * qx + dy * qy + dz * qz)
-            ok &= (v >= 0.0) & (u + v <= 1.0)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            ok &= (t >= t_min) & (t < t_best)
-            ok &= k < leaf_count
-            t_best = jnp.where(ok, t, t_best)
-            best = jnp.where(ok, ids[0, 0], best)
-            mat = jnp.where(ok, ids[0, 1], mat)
-            # Geometric (unnormalized) face normal of the winning
-            # triangle — normalized outside (reference Core/Mesh.cuh:303).
-            nx = jnp.where(ok, e1y * e2z - e1z * e2y, nx)
-            ny = jnp.where(ok, e1z * e2x - e1x * e2z, ny)
-            nz = jnp.where(ok, e1x * e2y - e1y * e2x, nz)
-        return NONE, sp, t_best, best, mat, nx, ny, nz
+        return carry[0] > 0
 
     def body(carry):
-        # Branch on node type: internal visits skip the 4 Möller–Trumbore
-        # sweeps, leaf visits skip the child slab tests (~40% per-visit).
-        next_task, new_sp, t_best, best, mat, nx, ny, nz = jax.lax.cond(
-            carry[0] >= 0, internal_step, leaf_step, carry)
+        n_alive, t_best, best, mat, nx, ny, nz = carry
 
-        do_pop = (next_task == NONE) & (new_sp > 0)
-        popped = stack_ref[jnp.maximum(new_sp - 1, 0)]
-        next_task = jnp.where(do_pop, popped, next_task)
-        new_sp = jnp.where(do_pop, new_sp - 1, new_sp)
-        return next_task, new_sp, t_best, best, mat, nx, ny, nz
+        # ---- Fetch: one node record and one triangle row per sub-warp.
+        nrecs, trows, tasks = [], [], []
+        for s in range(P_SUB):
+            task = task_ref[s]
+            tasks.append(task)
+            is_int = task >= 0
+            is_leaf = task <= -2
+            code = -task - 2
+            nrow = node_ref[pl.ds(jnp.where(is_int, task // 4, 0), 1)]
+            nrecs.append(_select_record(nrow, jnp.where(is_int, task % 4, 0),
+                                        4, NODE_STRIDE))
+            trows.append(tri_ref[pl.ds(jnp.where(is_leaf, code // 64, zero_row), 1)])
+        nrec8 = jnp.concatenate(nrecs, axis=0)                   # (8,32)
+        trow8 = jnp.concatenate(trows, axis=0)                   # (8,128)
+        ch8 = jax.lax.bitcast_convert_type(nrec8[:, 24:28], jnp.int32)  # (8,4)
 
-    _, _, t_best, best, mat, nx, ny, nz = jax.lax.while_loop(
-        cond, body, (start, jnp.int32(0), t_best0, best0, mat0, n0, n0, n0)
+        # ---- Leaf sweep first (its t_best updates tighten the slabs).
+        # Alignment-padding and zero-row records are degenerate
+        # (e1=e2=0 → a==0): self-rejecting, no count/leaf-ness gate.
+        state = (t_best, best, mat, nx, ny, nz)
+        for k in range(8):
+            trec = trow8[:, k * TRI_STRIDE:(k + 1) * TRI_STRIDE]  # (8,16)
+            ids = jax.lax.bitcast_convert_type(trec[:, 9:11], jnp.int32)  # (8,2)
+            state = mt_record(tuple(trec[:, c:c + 1] for c in range(9)),
+                              ids[:, 0:1], ids[:, 1:2], state)
+        t_best, best, mat, nx, ny, nz = state
+
+        # ---- Internal expansion: 4 child slabs, (8,1) bounds columns.
+        def bcol(k, j):
+            c = k * 6 + j
+            return nrec8[:, c:c + 1]                             # (8,1)
+
+        hks, reps = [], []
+        for k in range(4):
+            hk, tk = slab(bcol(k, 0), bcol(k, 1), bcol(k, 2),
+                          bcol(k, 3), bcol(k, 4), bcol(k, 5), t_best)
+            hks.append(hk)
+            # Representative-lane ordering key (lane 0 of each sub-warp).
+            reps.append(jnp.where(hk, tk, HALF_BIG)[:, 0:1])     # (8,1)
+        # Only cross-lane work: two LANE-axis reductions of bit-packed
+        # per-child hit counts (each count ≤ 128 fits 16 bits).
+        pa = jnp.sum(hks[0].astype(jnp.int32) + (hks[1].astype(jnp.int32) << 16),
+                     axis=1, keepdims=True)                      # (8,1)
+        pb = jnp.sum(hks[2].astype(jnp.int32) + (hks[3].astype(jnp.int32) << 16),
+                     axis=1, keepdims=True)
+
+        # ---- Scalar decisions per sub-warp: order, push, descend/pop.
+        new_alive = jnp.int32(0)
+        for s in range(P_SUB):
+            task = tasks[s]
+            is_int = task >= 0
+            a01 = pa[s, 0]
+            a23 = pb[s, 0]
+            anyk = [(a01 & 0xFFFF) > 0, (a01 >> 16) > 0,
+                    (a23 & 0xFFFF) > 0, (a23 >> 16) > 0]
+            # Empty slots carry (+inf,-inf) boxes, which the UNORDERED
+            # slab reads as tmin=-inf → "hit"; gate with the child ids.
+            anyk = [a & (ch8[s, k] != NONE) for k, a in enumerate(anyk)]
+            nhit = (anyk[0].astype(jnp.int32) + anyk[1].astype(jnp.int32)
+                    + anyk[2].astype(jnp.int32) + anyk[3].astype(jnp.int32))
+            nhit = jnp.where(is_int, nhit, 0)  # leaf/done slab data is garbage
+            tm = [jnp.where(anyk[k], reps[k][s, 0], BIG) for k in range(4)]
+            cc = [ch8[s, 0], ch8[s, 1], ch8[s, 2], ch8[s, 3]]
+            for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
+                swap = tm[i] > tm[j]
+                tm[i], tm[j] = (jnp.where(swap, tm[j], tm[i]),
+                                jnp.where(swap, tm[i], tm[j]))
+                cc[i], cc[j] = (jnp.where(swap, cc[j], cc[i]),
+                                jnp.where(swap, cc[i], cc[j]))
+
+            # Branchless far-to-near pushes: child k (k=1..nhit-1) lands
+            # at sp+(nhit-1-k); non-pushed ks clamp to sp and are either
+            # overwritten by a later (smaller-k) valid store or left dead
+            # below the new stack top.
+            sp = sp_ref[s]
+            base = s * stack_cap
+            for k in (3, 2, 1):
+                stack_ref[base + sp + jnp.maximum(nhit - 1 - k, 0)] = cc[k]
+            new_sp = sp + jnp.maximum(nhit - 1, 0)
+            desc = jnp.where(nhit > 0, cc[0], NONE)
+            do_pop = (desc == NONE) & (new_sp > 0) & (task != NONE)
+            popped = stack_ref[base + jnp.maximum(new_sp - 1, 0)]
+            nxt = jnp.where(do_pop, popped, desc)
+            task_ref[s] = nxt
+            sp_ref[s] = jnp.where(do_pop, new_sp - 1, new_sp)
+            new_alive += (nxt != NONE).astype(jnp.int32)
+
+        return new_alive, t_best, best, mat, nx, ny, nz
+
+    _, t_best, best, mat, nx, ny, nz = jax.lax.while_loop(
+        cond, body, (n_alive0, t_best0, best0, mat0, n0x, n0y, n0z)
     )
     t_out_ref[pl.ds(p, 1)] = t_best[None]
     id_out_ref[pl.ds(p, 1)] = best[None]
@@ -296,16 +380,21 @@ def _kernel_body(t_min, p, node_ref, tri_ref, o_ref, d_ref, tlim_ref,
     nz_out_ref[pl.ds(p, 1)] = nz[None]
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("t_min", "interpret", "stack_cap",
+                                    "n_brute_rows"))
 def _traverse_packets(node_pack, tri_pack, o_pk, d_pk, tlim_pk,
-                      t_min=1e-3, interpret=False):
+                      t_min=1e-3, interpret=False, stack_cap=STACK_CAP,
+                      n_brute_rows=0):
     g = o_pk.shape[0]
+    zero_row = tri_pack.shape[0] - 1  # dedicated degenerate row
+    brute_rows = tuple(range(zero_row - n_brute_rows, zero_row))
 
     def launch(args):
         o_c, d_c, t_c = args
         gc = o_c.shape[0]
         return pl.pallas_call(
-            _make_kernel(t_min, gc),
+            _make_kernel(t_min, gc, stack_cap, zero_row, brute_rows),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_shape=[
@@ -394,9 +483,10 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max, t_min: float = 1e-3,
         fmat = jnp.zeros((bvh4.tri.shape[0],), jnp.int32)
     assert bvh4.stack_depth <= STACK_CAP, (
         f"BVH4 stack bound {bvh4.stack_depth} exceeds kernel capacity {STACK_CAP}")
-    node_pack, tri_pack = _pack_tables(bvh4, fmat)
+    node_pack, tri_pack, _, n_brute_rows = _pack_tables(bvh4, fmat)
     t_pk, id_pk, m_pk, nx_pk, ny_pk, nz_pk = _traverse_packets(
         node_pack, tri_pack, o_pk, d_pk, tlim, t_min=t_min, interpret=interpret,
+        stack_cap=bvh4.stack_depth, n_brute_rows=n_brute_rows,
     )
 
     if sort:

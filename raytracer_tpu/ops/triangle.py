@@ -33,6 +33,18 @@ def intersect_tris_brute(origins, dirs, vertices, faces, t_min, t_max):
     Returns (t f32[N] (BIG on miss), tri_id i32[N]).
     """
     v0, e1, e2 = _tri_edges(vertices, faces)      # [T,3]
+    return _brute_edges(origins, dirs, v0, e1, e2, t_min, t_max)
+
+
+def intersect_packed_brute(origins, dirs, tri9, t_min, t_max):
+    """All-pairs against PACKED (v0,e1,e2) triangles f32[T,9] — the
+    Bvh4.brute_tri two-level set. Returns (t, slot) with slot indexing
+    tri9 (map through brute_prim/brute_mat for original ids)."""
+    return _brute_edges(origins, dirs, tri9[:, 0:3], tri9[:, 3:6], tri9[:, 6:9],
+                        t_min, t_max)
+
+
+def _brute_edges(origins, dirs, v0, e1, e2, t_min, t_max):
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), origins.shape[:1])[:, None]
 
     d = dirs[:, None, :]                          # [N,1,3]

@@ -166,6 +166,20 @@ def write_bunny_substitute(path: str, subdiv: int = 6) -> None:
     # Squash to sit like a bunny: taller than wide, flattened base.
     verts[:, 1] = np.maximum(verts[:, 1] * 1.15, -0.72)
     verts[:, 1] -= verts[:, 1].min()
+    # Match the RAW Stanford bunny's coordinate scale (extent ~0.155,
+    # near the origin). This matters for scene composition:
+    # SceneManager.h:307-325 re-normalizes ALL meshes after each load,
+    # so Cornell (raw extent ~2.03) is scaled to 0.6 first, and the
+    # joint pass over {0.6-box ∪ small bunny} is then a no-op — the
+    # bunny must arrive small to sit INSIDE the box like the real asset.
+    # We center it on the tall block's top face in normalized coords
+    # (raw block top y=1.2 → 0.061; center (-0.34,-0.29) → (-0.098,-0.078))
+    # to match the reference screenshot's bunny-on-pedestal framing.
+    ext = (verts.max(0) - verts.min(0)).max()
+    verts *= 0.155 / ext
+    verts[:, 0] -= verts[:, 0].mean() + 0.098
+    verts[:, 2] -= verts[:, 2].mean() + 0.078
+    verts[:, 1] += 0.061 - verts[:, 1].min()
     with open(path, "w") as f:
         f.write("# procedural bunny-substitute (no materials, like the real asset)\n")
         for vx, vy, vz in verts:

@@ -108,19 +108,98 @@ def reference_scene(assets_dir: str = "assets/models", with_bunny: bool = True,
     return scene
 
 
+def partition_brute_faces(mesh: TriMesh, area_ratio: float = 100.0,
+                          max_brute: int = 64, min_tree: int = 256):
+    """Split off a handful of LARGE triangles (Cornell walls/boxes/light)
+    to be tested brute-force instead of via the BVH. Large triangles
+    both pollute BVH quality and — more importantly on TPU — keep every
+    ray packet entering the tree; with them removed, the tree's root box
+    shrinks to the dense mesh (bunny) and most interior bounce rays skip
+    traversal entirely after the vectorized brute pre-pass primes t_best
+    (~3x fewer packet-traversal iterations, scripts/divergence_study.py).
+
+    Returns (brute_ids, tree_ids) as int64 arrays of ORIGINAL face ids;
+    brute_ids is empty when no triangle dwarfs the median area or the
+    mesh is too small to split."""
+    import numpy as np
+
+    faces = np.asarray(mesh.faces)
+    verts = np.asarray(mesh.vertices)
+    t = faces.shape[0]
+    all_ids = np.arange(t, dtype=np.int64)
+    if t < min_tree + 1:
+        return all_ids[:0], all_ids
+    e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+    e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+    area = np.linalg.norm(np.cross(e1, e2), axis=1)
+    med = np.median(area)
+    big = np.where(area > area_ratio * max(med, 1e-30))[0]
+    if big.size == 0 or big.size > max_brute or t - big.size < min_tree:
+        return all_ids[:0], all_ids
+    keep = np.ones(t, bool)
+    keep[big] = False
+    return big.astype(np.int64), all_ids[keep]
+
+
 def build_scene_bvh4(mesh: TriMesh):
     """Preferred acceleration structure: native binned-SAH BVH4
-    (native/scenekit.cpp); falls back to the pure-XLA LBVH + Python
-    collapse when the native library is unavailable."""
+    (native/scenekit.cpp) over the dense-mesh faces, with oversized
+    triangles split off for the kernels' brute-force pre-pass
+    (partition_brute_faces); falls back to the pure-XLA LBVH + Python
+    collapse when the native library is unavailable. prim ids in both
+    halves are ORIGINAL face indices, so shading is split-agnostic."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    brute_ids, tree_ids = partition_brute_faces(mesh)
+    if brute_ids.size:
+        faces = np.asarray(mesh.faces)
+        fmat = np.asarray(mesh.face_mat)
+        sub = TriMesh(vertices=mesh.vertices,
+                      faces=jnp.asarray(faces[tree_ids]),
+                      face_mat=jnp.asarray(fmat[tree_ids]))
+    else:
+        sub = mesh
+
     try:
         from raytracer_tpu.scene.native import build_bvh4_native
 
-        return build_bvh4_native(mesh)
+        b4 = build_bvh4_native(sub)
     except Exception:
         from raytracer_tpu.ops.bvh import build_lbvh
         from raytracer_tpu.ops.bvh4 import build_bvh4
 
-        return build_bvh4(mesh, build_lbvh(mesh))
+        b4 = build_bvh4(sub, build_lbvh(sub))
+
+    if not brute_ids.size:
+        return b4
+
+    # Remap sub-mesh prim ids back to original face ids.
+    prim = tree_ids[np.asarray(b4.prim_index)].astype(np.int32)
+    verts = np.asarray(mesh.vertices)
+    faces = np.asarray(mesh.faces)
+    fmat = np.asarray(mesh.face_mat)
+    bf = faces[brute_ids]
+    v0 = verts[bf[:, 0]]
+    bt = np.concatenate([v0, verts[bf[:, 1]] - v0, verts[bf[:, 2]] - v0],
+                        axis=1).astype(np.float32)
+    bp = brute_ids.astype(np.int32)
+    bm = fmat[brute_ids].astype(np.int32)
+    pad = (-bt.shape[0]) % 8  # degenerate padding rows (MT self-rejects)
+    if pad:
+        bt = np.concatenate([bt, np.zeros((pad, 9), np.float32)])
+        bp = np.concatenate([bp, np.zeros((pad,), np.int32)])
+        bm = np.concatenate([bm, np.zeros((pad,), np.int32)])
+    import dataclasses
+
+    return dataclasses.replace(
+        b4,
+        prim_index=jnp.asarray(prim),
+        brute_tri=jnp.asarray(bt),
+        brute_prim=jnp.asarray(bp),
+        brute_mat=jnp.asarray(bm),
+    )
 
 
 def cornell_materials_scene(assets_dir: str = "assets/models") -> Scene:

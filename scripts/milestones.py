@@ -55,7 +55,7 @@ def main():
         kw = dict(aspect_ratio=cfg.aspect_ratio, fov_degrees=cfg.fov_degrees,
                   aperture=cfg.aperture)
         if showcase:
-            kw.update(position=(0.0, 0.35, 1.3), pitch=-12.0)
+            kw.update(position=(0.0, 0.05, 0.29), pitch=-5.0)
         return make_camera(**kw)
 
     def emit(name, cfg, img, dt):

@@ -28,7 +28,7 @@ def main():
 
     jaxcache.enable()
 
-    from raytracer_tpu.camera import make_camera
+    from raytracer_tpu.camera import showcase_camera
     from raytracer_tpu.config import RenderConfig
     from raytracer_tpu.models.wavefront import _tiled_pixel_grid, render_pixels_wavefront
     from raytracer_tpu.scene.builder import reference_scene
@@ -39,19 +39,13 @@ def main():
     print(f"scene build: {time.perf_counter()-t0:.1f}s  n4={scene.bvh4.bounds.shape[0]} "
           f"tris={scene.bvh4.tri.shape[0]} stack={scene.bvh4.stack_depth}", flush=True)
 
-    cfg = RenderConfig(width=2560, height=1440, spp=8, max_bounces=20)
-    cam = make_camera(aspect_ratio=cfg.aspect_ratio, fov_degrees=cfg.fov_degrees,
-                      aperture=cfg.aperture, position=(0.0, 0.35, 1.3), pitch=-12.0)
-    px, py, inv = _tiled_pixel_grid(cfg)
+    base = RenderConfig(width=2560, height=1440, spp=8, max_bounces=20)
+    cam = showcase_camera(base)
+    px, py, inv = _tiled_pixel_grid(base)
 
     # Row-band sub-ranges of the tiled lane order: a band of tile-rows.
-    w, h = cfg.width, cfg.height
+    w, h = base.width, base.height
     lanes_per_tile_row = (w // 128) * 8 * 128  # 8 image rows
-    run = jax.jit(
-        lambda px, py, s_off, sp: render_pixels_wavefront(
-            scene, cam, px, py, cfg, key=jax.random.key(0), spp=sp, sample_offset=s_off),
-        static_argnums=(3,),
-    )
 
     def band(r0, rows):  # r0, rows in image rows (multiples of 8)
         lo = (r0 // 8) * lanes_per_tile_row
@@ -59,33 +53,44 @@ def main():
         return px[lo:hi], py[lo:hi]
 
     spp = 2 if args.quick else 8
-    for name, r0 in [("top(sky)", 0), ("middle(scene)", 704), ("bottom(ground)", 1304)]:
-        bpx, bpy = band(r0, 128)
-        n = bpx.shape[0]
-        t0 = time.perf_counter()
-        out = run(bpx, bpy, jnp.int32(0), spp)
-        m = float(out.mean())
-        warm = time.perf_counter() - t0
-        best = 1e9
-        for i in range(2):
+    for sort_rays in (False, True):
+        cfg = base.replace(sort_rays=sort_rays)
+        run = jax.jit(
+            lambda px, py, s_off, sp, cfg=cfg: render_pixels_wavefront(
+                scene, cam, px, py, cfg, key=jax.random.key(0), spp=sp,
+                sample_offset=s_off),
+            static_argnums=(3,),
+        )
+        print(f"--- sort_rays={sort_rays}", flush=True)
+        for name, r0 in [("top(ceiling)", 0), ("middle(pedestal)", 704),
+                         ("bottom(floor)", 1304)]:
+            bpx, bpy = band(r0, 128)
+            n = bpx.shape[0]
             t0 = time.perf_counter()
-            m = float(run(bpx, bpy, jnp.int32(i + 1), spp).mean())
-            best = min(best, time.perf_counter() - t0)
-        print(f"{name}: rows=128 spp={spp} warm={warm:.1f}s best={best:.3f}s -> "
-              f"{n*spp/best/1e6:.2f} M rays/s (mean {m:.4f})", flush=True)
+            out = run(bpx, bpy, jnp.int32(0), spp)
+            m = float(out.mean())
+            warm = time.perf_counter() - t0
+            best = 1e9
+            for i in range(2):
+                t0 = time.perf_counter()
+                m = float(run(bpx, bpy, jnp.int32(i + 1), spp).mean())
+                best = min(best, time.perf_counter() - t0)
+            print(f"{name}: rows=128 spp={spp} warm={warm:.1f}s best={best:.3f}s -> "
+                  f"{n*spp/best/1e6:.2f} M rays/s (mean {m:.4f})", flush=True)
 
-    # Full frame.
-    t0 = time.perf_counter()
-    out = run(px, py, jnp.int32(7), spp)
-    m = float(out.mean())
-    dt = time.perf_counter() - t0
-    n = px.shape[0]
-    print(f"full 2K frame: spp={spp} {dt:.2f}s -> {n*spp/dt/1e6:.2f} M rays/s "
-          f"(mean {m:.4f})", flush=True)
-    t0 = time.perf_counter()
-    m = float(run(px, py, jnp.int32(8), spp).mean())
-    dt = time.perf_counter() - t0
-    print(f"full 2K frame (cached): {dt:.2f}s -> {n*spp/dt/1e6:.2f} M rays/s", flush=True)
+        # Full frame.
+        t0 = time.perf_counter()
+        out = run(px, py, jnp.int32(7), spp)
+        m = float(out.mean())
+        dt = time.perf_counter() - t0
+        n = px.shape[0]
+        print(f"full 2K frame: spp={spp} {dt:.2f}s -> {n*spp/dt/1e6:.2f} M rays/s "
+              f"(mean {m:.4f})", flush=True)
+        t0 = time.perf_counter()
+        m = float(run(px, py, jnp.int32(8), spp).mean())
+        dt = time.perf_counter() - t0
+        print(f"full 2K frame (cached): {dt:.2f}s -> {n*spp/dt/1e6:.2f} M rays/s",
+              flush=True)
 
 
 def traversal_only():

@@ -97,3 +97,12 @@ def test_fused_trace_matches_generic(scene):
                                   np.asarray(params.mtype)[hit])
     np.testing.assert_allclose(np.asarray(fh.params.albedo)[hit],
                                np.asarray(params.albedo)[hit], atol=1e-6)
+
+    # Active-mask: live lanes get identical results; masked lanes are
+    # dead weight whose traversal is skipped (t_lim = -1).
+    act = (px % 3 != 0)
+    fh_m = isect.trace_frame_fused(scene, o, d, 1e-3, interpret=True, active=act)
+    live = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(fh_m.hit)[live], np.asarray(fh.hit)[live])
+    np.testing.assert_allclose(np.asarray(fh_m.point)[live & hit],
+                               np.asarray(fh.point)[live & hit], atol=1e-6)
