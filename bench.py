@@ -5,13 +5,16 @@ Prints ONE JSON line:
    "vs_baseline": R}
 
 Workload: the reference's headline scene — Cornell box + bunny-scale
-mesh (~82k tris) at 2K (2560×1440), traced with the wavefront integrator
-over the native SAH BVH4 — the same geometry/shading work per camera ray
-as the reference's "high quality" mode (README.md:11: 2K/2000spp "takes
-several minutes" on an RTX 3050 Ti ⇒ ~12-41 M camera rays/s;
-BASELINE.md). Per-ray cost is spp-invariant, so we time a fixed
-spp slice and report camera rays/second/chip. vs_baseline is against the
-25 M rays/s midpoint of the reference estimate.
+mesh (~82k tris) at 2K (2560×1440), camera INSIDE the box matching the
+reference's published screenshot (every pixel hits geometry, paths only
+terminate via the ceiling light / RR / 20-bounce cap), traced with the
+wavefront integrator over the two-level native SAH BVH4 — the same
+geometry/shading work per camera ray as the reference's "high quality"
+mode (README.md:11: 2K/2000spp "takes several minutes" on an RTX 3050
+Ti ⇒ ~12-41 M camera rays/s; BASELINE.md). Per-ray cost is
+spp-invariant, so we time a fixed spp slice and report camera
+rays/second/chip. vs_baseline is against the 25 M rays/s midpoint of
+the reference estimate.
 """
 
 from __future__ import annotations

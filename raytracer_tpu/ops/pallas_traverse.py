@@ -22,22 +22,21 @@ with every LEAF 8-aligned to one row (bvh4.align_leaves_to_rows) — a
 leaf visit is ONE dynamically-indexed aligned row load and 8 static
 record slices. The kernel runs without a Pallas grid: a fori_loop walks
 all packets of one launch (grid pipelining would double-buffer the
-resident tables), each packet being 8×128 = 1024 rays whose slab tests
-and Möller–Trumbore run as full (8,128)-tile VPU ops against
-scalar-broadcast node data; each packet keeps a scalar node stack in
-SMEM. A packet descends into a child iff ANY of its rays hits the child
-box; per-ray t_best keeps closest-hit exact (equivalence-tested against
-brute force).
+resident tables). Each (8,128) packet's sublane rows are 8 INDEPENDENT
+128-ray SUB-WARPS (see _kernel_body) — narrow sub-warps cut the
+'any ray hits → descend' divergence penalty ~4x for incoherent interior
+bounce rays while every op still fills full (8,128) vregs. Per-ray
+t_best keeps closest-hit exact (equivalence-tested against brute force).
 
-Per-visit cost discipline (measured ~1 µs/visit before, dominated by
-cross-lane reductions and branches, not vector math): an internal visit
-does exactly TWO full-vreg reductions (bit-packed per-child hit counts),
-orders children by a representative-ray scalar key, and pushes with
-branchless clamped SMEM stores; a leaf visit does zero reductions.
+Two-level split: oversized triangles (Bvh4.brute_tri, selected by
+scene/builder.partition_brute_faces) are swept brute-force from STATIC
+rows before traversal, priming t_best; with the Cornell shell handled
+there, the tree covers only the dense mesh and most bounce packets
+fail the root test outright.
 
-Rays arrive pre-sorted for coherence — either by the wavefront's static
-8×128 screen-tile lane order (sort=False, the default fast path) or by
-a dynamic (direction octant, origin Morton) sort.
+Rays arrive in the wavefront's static 8×128 screen-tile lane order;
+dynamic (direction octant, origin Morton) sorting exists (sort=True)
+but measures slower than its argsort/permute gathers save.
 
 The kernel also returns the winning triangle's material id and
 geometric normal so the wavefront's shade stage needs no table lookups
