@@ -26,11 +26,11 @@ def run(name, kernel, inputs, out_shape, expected):
         out_shape=out_shape,
     )
     got = np.asarray(jax.jit(fn)(*inputs))
-    ok = np.allclose(got, expected, rtol=1e-6, atol=0)
+    ok = np.allclose(got, expected, rtol=1e-5, atol=1e-5)
     print(f"{name:28s}: {'OK' if ok else 'FAIL'}"
           + ("" if ok else f"  (max|diff| {np.abs(got - expected).max()})"), flush=True)
     if not ok:
-        bad = np.argwhere(~np.isclose(got, expected, rtol=1e-6))
+        bad = np.argwhere(~np.isclose(got, expected, rtol=1e-5, atol=1e-5))
         print("   first bad idx:", bad[:4].tolist(),
               "got", got[tuple(bad[0])], "want", expected[tuple(bad[0])], flush=True)
     return ok
@@ -70,11 +70,12 @@ def main():
         pa = jnp.sum(hk0.astype(jnp.int32) + (hk1.astype(jnp.int32) << 16),
                      axis=1, keepdims=True)     # (8,1)
         acc = jnp.zeros((8, 128), jnp.int32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         for s in range(8):
             a01 = pa[s, 0]
             lo = a01 & 0xFFFF
             hi = a01 >> 16
-            acc = acc.at[s:s + 1, :].set(lo * 1000 + hi)
+            acc = jnp.where(rows == s, lo * 1000 + hi, acc)
         o_ref[...] = acc
 
     exp = (b.sum(1) * 1000 + c.sum(1))[:, None] * np.ones((1, 128), np.int32)
@@ -114,8 +115,9 @@ def main():
             for s in range(8):
                 sm[s] = jnp.int32(v[s, 7] > 0)
             acc = jnp.zeros((8, 128), jnp.int32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             for s in range(8):
-                acc = acc.at[s:s + 1, :].set(sm[s])
+                acc = jnp.where(rows == s, sm[s], acc)
             o_ref[...] = acc
 
         pl.run_scoped(scoped, pltpu.SMEM((8,), jnp.int32))
