@@ -81,3 +81,27 @@ def test_fused_trace_two_level_materials(scene, rays):
                                   np.asarray(params.mtype)[hit])
     # Some rays must see the emissive ceiling light.
     assert (np.asarray(fh.params.emission)[hit].sum(axis=1) > 0).any()
+
+
+def test_interior_showcase_brightness(scene):
+    """End-to-end guard for the headline workload: a tiny interior
+    render through the fused Pallas path (interpret) must land in a
+    sane radiance band — a dark frame means the light/material routing
+    through the kernel broke (regression seen only on-TPU 2026-08-18:
+    mean 0.27 → 0.04)."""
+    from raytracer_tpu.camera import showcase_camera
+    from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.models.wavefront import render_image_wavefront
+
+    # >= PACKET_MIN_RAYS lanes so the fused Pallas path engages.
+    cfg = RenderConfig(width=128, height=40, spp=2, max_bounces=12)
+    cam = showcase_camera(cfg)
+    os.environ["RAYTRACER_TPU_TRAVERSAL"] = "pallas"
+    try:
+        img = np.asarray(render_image_wavefront(scene, cam, cfg, jax.random.key(0)))
+    finally:
+        del os.environ["RAYTRACER_TPU_TRAVERSAL"]
+    m = img.mean()
+    assert 0.1 < m < 0.8, m
+    # Ceiling-light pixels blow out well above the walls.
+    assert img.max() > 2.0, img.max()
