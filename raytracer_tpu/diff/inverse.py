@@ -28,7 +28,7 @@ from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.render import render_pixels
 from raytracer_tpu.scene.types import Materials, Scene
 
-DEFAULT_FIELDS = ("albedo", "roughness", "emission")
+DEFAULT_FIELDS = ("albedo", "roughness", "emission", "ior")
 
 
 class AdamState(NamedTuple):

@@ -97,7 +97,10 @@ def align_leaves_to_rows(children: np.ndarray, tri: np.ndarray,
     nleaf = los.shape[0]
     order = np.argsort(los, kind="stable")  # preserve sorted-slot locality
     new_tri = np.zeros((8 * nleaf, tri.shape[1]), tri.dtype)
-    new_prim = np.zeros((8 * nleaf,), prim_index.dtype)
+    # Padding slots get prim -1 so consumers (coverage stats, remaps,
+    # serialization) can tell them from real primitives; at runtime they
+    # are never selected (degenerate triangles self-reject).
+    new_prim = np.full((8 * nleaf,), -1, prim_index.dtype)
     new_fmat = np.zeros((8 * nleaf,), face_mat.dtype)
     new_codes = np.empty((nleaf,), np.int64)
     for i in range(nleaf):

@@ -16,7 +16,9 @@ as a real compile error:
   * grid pipelining allocates per-step staging of whole-array inputs.
 
 Hence the layout: BVH4 nodes are packed FOUR per 128-lane row
-(32 lanes each: 24 bounds floats + 4 child ids bitcast to f32), and
+(32 lanes each: 24 bounds floats + 4 child ids float-encoded — NOT
+bitcast, which miscompiles in-kernel on the 2026-08-18 backend, see
+_pack_tables), and
 triangles EIGHT per row (16 lanes each: v0,e1,e2, prim id, material id)
 with every LEAF 8-aligned to one row (bvh4.align_leaves_to_rows) — a
 leaf visit is ONE dynamically-indexed aligned row load and 8 static
@@ -72,12 +74,23 @@ def _pack_tables(bvh4: Bvh4, fmat: jnp.ndarray):
     n4 = bvh4.bounds.shape[0]
     t = bvh4.tri.shape[0]
 
+    # Integer fields ride in the float tables as FLOAT-ENCODED VALUES
+    # (exact for |v| < 2^24), converted back with astype inside the
+    # kernel. NOT bitcast: on the 2026-08-18 backend, in-kernel
+    # bitcast_convert_type of record slices from concat-replicated /
+    # select-chained rows miscompiles to zeros or faults
+    # (scripts/bitcast_probe.py p1/p3/p4) — zeroed child codes then spin
+    # the traversal loop forever and crash the device.
+    # prim/mat ids < t; leaf codes ≈ 8*t; node tasks < 4*n4.
+    assert 8 * t + 16 < (1 << 24) and 4 * n4 < (1 << 24), (
+        "float-encoded table ids exceed exact-f32 range")
+
     # Nodes: [ceil(n4/4), 128] f32; node n at row n//4, lanes 32*(n%4):
     # child-box bounds (24: per child min x,y,z then max x,y,z) +
-    # child codes (4, bitcast i32→f32) + pad (4).
+    # child codes (4, float-encoded i32) + pad (4).
     node_vals = jnp.concatenate(
         [bvh4.bounds.reshape(n4, 24),
-         jax.lax.bitcast_convert_type(bvh4.children, jnp.float32),
+         bvh4.children.astype(jnp.float32),
          jnp.zeros((n4, NODE_STRIDE - 28), jnp.float32)], axis=1)  # [n4,32]
     pad_n = (-n4) % 4
     if pad_n:
@@ -86,7 +99,7 @@ def _pack_tables(bvh4: Bvh4, fmat: jnp.ndarray):
     node_pack = node_vals.reshape(-1, 4 * NODE_STRIDE)  # [ceil(n4/4),128]
 
     # Triangles: [t/8, 128] f32; tri k at row k//8, lanes 16*(k%8):
-    # [v0(3) e1(3) e2(3) prim(bitcast) mat(bitcast) pad(5)].
+    # [v0(3) e1(3) e2(3) prim(float-enc) mat(float-enc) pad(5)].
     # Leaf ranges are 8-aligned (bvh4.align_leaves_to_rows), so one leaf
     # == one row and t % 8 == 0; the kernel fetches a leaf with a single
     # aligned row load and static record slices.
@@ -95,8 +108,8 @@ def _pack_tables(bvh4: Bvh4, fmat: jnp.ndarray):
         tt = tri9.shape[0]
         vals = jnp.concatenate(
             [tri9,
-             jax.lax.bitcast_convert_type(prim, jnp.float32)[:, None],
-             jax.lax.bitcast_convert_type(mat, jnp.float32)[:, None],
+             prim.astype(jnp.float32)[:, None],
+             mat.astype(jnp.float32)[:, None],
              jnp.zeros((tt, TRI_STRIDE - 11), jnp.float32)], axis=1)  # [tt,16]
         return vals.reshape(-1, 8 * TRI_STRIDE)  # [tt/8,128]
 
@@ -126,13 +139,14 @@ def _select_record(row, sub, n_options, stride):
 
 
 def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
-                 brute_rows: tuple):
+                 brute_rows: tuple, max_iters: int):
     def kernel(node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                t_out_ref, id_out_ref, mat_out_ref,
                nx_out_ref, ny_out_ref, nz_out_ref):
         def body_scoped(task_ref, sp_ref, stack_ref):
             def per_packet(p, _):
-                _kernel_body(t_min, stack_cap, zero_row, brute_rows, p,
+                _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters,
+                             p,
                              node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                              t_out_ref, id_out_ref, mat_out_ref,
                              nx_out_ref, ny_out_ref, nz_out_ref,
@@ -149,7 +163,7 @@ def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
     return kernel
 
 
-def _kernel_body(t_min, stack_cap, zero_row, brute_rows, p,
+def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters, p,
                  node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                  t_out_ref, id_out_ref, mat_out_ref,
                  nx_out_ref, ny_out_ref, nz_out_ref,
@@ -242,7 +256,7 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, p,
         trow = jnp.concatenate([row] * P_SUB, axis=0)            # (8,128)
         for k in range(8):
             trec = trow[:, k * TRI_STRIDE:(k + 1) * TRI_STRIDE]  # (8,16)
-            ids = jax.lax.bitcast_convert_type(trec[:, 9:11], jnp.int32)
+            ids = trec[:, 9:11].astype(jnp.int32)  # float-encoded (no bitcast)
             state0 = mt_record(tuple(trec[:, c:c + 1] for c in range(9)),
                                ids[:, 0:1], ids[:, 1:2], state0)
     t_best0, best0, mat0, n0x, n0y, n0z = state0
@@ -273,11 +287,21 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, p,
         sp_ref[s] = jnp.int32(0)
         n_alive0 += (t0s != NONE).astype(jnp.int32)
 
+    # The loop cond ALSO counts down from a static bound that no real
+    # traversal can reach (each tree node is visited at most once per
+    # sub-warp per query, so visits ≤ nodes + leaf rows). The bound never
+    # binds — results are identical — but its presence matters twice:
+    # (a) robustness: a miscompiled alive-count can otherwise loop
+    #     forever and wedge the device;
+    # (b) the 2026-08-18 compile service faults at dispatch on kernels
+    #     whose big-bodied while_loop terminates ONLY via a
+    #     data-dependent condition (scripts/kernel_morph.py bisect:
+    #     v1_while crashes, v6/v7 with a counter in the cond pass).
     def cond(carry):
-        return carry[0] > 0
+        return (carry[0] > 0) & (carry[1] > 0)
 
     def body(carry):
-        n_alive, t_best, best, mat, nx, ny, nz = carry
+        iters_left, n_alive, t_best, best, mat, nx, ny, nz = carry
 
         # ---- Fetch: one node record and one triangle row per sub-warp.
         nrecs, trows, tasks = [], [], []
@@ -293,7 +317,7 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, p,
             trows.append(tri_ref[pl.ds(jnp.where(is_leaf, code // 64, zero_row), 1)])
         nrec8 = jnp.concatenate(nrecs, axis=0)                   # (8,32)
         trow8 = jnp.concatenate(trows, axis=0)                   # (8,128)
-        ch8 = jax.lax.bitcast_convert_type(nrec8[:, 24:28], jnp.int32)  # (8,4)
+        ch8 = nrec8[:, 24:28].astype(jnp.int32)  # float-encoded (no bitcast)
 
         # ---- Leaf sweep first (its t_best updates tighten the slabs).
         # Alignment-padding and zero-row records are degenerate
@@ -301,7 +325,7 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, p,
         state = (t_best, best, mat, nx, ny, nz)
         for k in range(8):
             trec = trow8[:, k * TRI_STRIDE:(k + 1) * TRI_STRIDE]  # (8,16)
-            ids = jax.lax.bitcast_convert_type(trec[:, 9:11], jnp.int32)  # (8,2)
+            ids = trec[:, 9:11].astype(jnp.int32)  # float-encoded (no bitcast)
             state = mt_record(tuple(trec[:, c:c + 1] for c in range(9)),
                               ids[:, 0:1], ids[:, 1:2], state)
         t_best, best, mat, nx, ny, nz = state
@@ -357,7 +381,15 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, p,
             base = s * stack_cap
             for k in (3, 2, 1):
                 stack_ref[base + sp + jnp.maximum(nhit - 1 - k, 0)] = cc[k]
-            new_sp = sp + jnp.maximum(nhit - 1, 0)
+            # Clamped at stack_cap-4: with callers allocating the build-
+            # time worst-case bound +4 headroom this NEVER binds (the
+            # interpret-mode equivalence tests would catch it if it did);
+            # it exists so no codegen or bound bug can ever turn into an
+            # out-of-bounds SMEM write, which faults the whole device
+            # under the 2026-08-18 runtime (kernel_morph.py: v11 is the
+            # unclamped twin of passing v10 and crashes the TPU worker).
+            new_sp = jnp.minimum(sp + jnp.maximum(nhit - 1, 0),
+                                 stack_cap - 4)
             desc = jnp.where(nhit > 0, cc[0], NONE)
             do_pop = (desc == NONE) & (new_sp > 0) & (task != NONE)
             popped = stack_ref[base + jnp.maximum(new_sp - 1, 0)]
@@ -366,10 +398,11 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, p,
             sp_ref[s] = jnp.where(do_pop, new_sp - 1, new_sp)
             new_alive += (nxt != NONE).astype(jnp.int32)
 
-        return new_alive, t_best, best, mat, nx, ny, nz
+        return iters_left - 1, new_alive, t_best, best, mat, nx, ny, nz
 
-    _, t_best, best, mat, nx, ny, nz = jax.lax.while_loop(
-        cond, body, (n_alive0, t_best0, best0, mat0, n0x, n0y, n0z)
+    _, _, t_best, best, mat, nx, ny, nz = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(max_iters), n_alive0, t_best0, best0, mat0, n0x, n0y, n0z)
     )
     t_out_ref[pl.ds(p, 1)] = t_best[None]
     id_out_ref[pl.ds(p, 1)] = best[None]
@@ -388,12 +421,16 @@ def _traverse_packets(node_pack, tri_pack, o_pk, d_pk, tlim_pk,
     g = o_pk.shape[0]
     zero_row = tri_pack.shape[0] - 1  # dedicated degenerate row
     brute_rows = tuple(range(zero_row - n_brute_rows, zero_row))
+    # Sound traversal-iteration bound: each tree node is visited at most
+    # once per sub-warp per query, so internal visits ≤ 4*node_rows and
+    # leaf visits ≤ leaf rows. Never binds in practice (~40 iters).
+    max_iters = 4 * node_pack.shape[0] + (zero_row - n_brute_rows) + 8
 
     def launch(args):
         o_c, d_c, t_c = args
         gc = o_c.shape[0]
         return pl.pallas_call(
-            _make_kernel(t_min, gc, stack_cap, zero_row, brute_rows),
+            _make_kernel(t_min, gc, stack_cap, zero_row, brute_rows, max_iters),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_shape=[
@@ -480,12 +517,15 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max, t_min: float = 1e-3,
     fmat = bvh4.face_mat
     if fmat is None:
         fmat = jnp.zeros((bvh4.tri.shape[0],), jnp.int32)
-    assert bvh4.stack_depth <= STACK_CAP, (
-        f"BVH4 stack bound {bvh4.stack_depth} exceeds kernel capacity {STACK_CAP}")
+    # +4 headroom above the build-time worst-case bound so the kernel's
+    # overflow clamp (stack_cap - 4) never binds on a correct build.
+    stack_cap = bvh4.stack_depth + 4
+    assert stack_cap <= STACK_CAP, (
+        f"BVH4 stack bound {bvh4.stack_depth}+4 exceeds kernel capacity {STACK_CAP}")
     node_pack, tri_pack, _, n_brute_rows = _pack_tables(bvh4, fmat)
     t_pk, id_pk, m_pk, nx_pk, ny_pk, nz_pk = _traverse_packets(
         node_pack, tri_pack, o_pk, d_pk, tlim, t_min=t_min, interpret=interpret,
-        stack_cap=bvh4.stack_depth, n_brute_rows=n_brute_rows,
+        stack_cap=stack_cap, n_brute_rows=n_brute_rows,
     )
 
     if sort:

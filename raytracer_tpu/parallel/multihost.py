@@ -84,7 +84,10 @@ def scaling_report(scene, cam, cfg, key, device_counts=None) -> dict:
         dt = time.perf_counter() - t0
         rays = cfg.width * cfg.height * cfg.spp
         results[c] = {"seconds": dt, "rays_per_sec": rays / dt}
-    base = next(iter(results.values()))["rays_per_sec"]
+    # Efficiency = per-device throughput relative to the smallest measured
+    # device count (perfect linear scaling ⇒ 1.0 at every count).
+    base_count = min(results)
+    base_per_dev = results[base_count]["rays_per_sec"] / base_count
     for c, row in results.items():
-        row["efficiency"] = row["rays_per_sec"] / (base * c / next(iter(results)))
+        row["efficiency"] = (row["rays_per_sec"] / c) / base_per_dev
     return results

@@ -87,6 +87,53 @@ def render_image_sharded(
     return rgb[:n].reshape(cfg.height, cfg.width, 3)
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh", "spp"))
+def _render_sharded_wavefront(scene, cam, px, py, cfg, key, mesh, spp):
+    from raytracer_tpu.models.wavefront import render_pixels_wavefront
+
+    def local_render(scene, cam, px, py, key):
+        # Lane-local integrator: each device runs its own while_loop over
+        # its pixel block with zero collectives; pixel-keyed RNG makes
+        # the result identical to the single-device wavefront
+        # (tests/test_sharding.py::test_sharded_wavefront_matches).
+        return render_pixels_wavefront(scene, cam, px, py, cfg, key, spp=spp)
+
+    return shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )(scene, cam, px, py, key)
+
+
+def render_image_wavefront_sharded(
+    scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    key: jax.Array,
+    mesh: Mesh | None = None,
+    spp: int | None = None,
+) -> jnp.ndarray:
+    """Full-image render with the PERF integrator (lane-stable wavefront,
+    models/wavefront.py) sharded over the mesh — the path the 2K/2000spp
+    multi-host workload (BASELINE config 5) actually runs. Lanes are in
+    8x128 screen-tile order (compact Pallas packets per shard); the tile
+    count is a multiple of 1024 so any power-of-two shard count divides
+    it evenly with whole tiles per shard."""
+    from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+
+    mesh = make_mesh() if mesh is None else mesh
+    px, py, inv = _tiled_pixel_grid(cfg)
+    if px.shape[0] % mesh.devices.size:
+        raise ValueError(
+            f"tile-lane count {px.shape[0]} not divisible by mesh size "
+            f"{mesh.devices.size}")
+    rgb = _render_sharded_wavefront(scene, cam, px, py, cfg, key, mesh,
+                                    spp or cfg.spp)
+    return rgb[inv].reshape(cfg.height, cfg.width, 3)
+
+
 def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
     """Place scene params replicated on every device (the analog of the
     reference's scene upload; here it is an explicit sharding)."""

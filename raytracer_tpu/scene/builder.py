@@ -175,8 +175,10 @@ def build_scene_bvh4(mesh: TriMesh):
     if not brute_ids.size:
         return b4
 
-    # Remap sub-mesh prim ids back to original face ids.
-    prim = tree_ids[np.asarray(b4.prim_index)].astype(np.int32)
+    # Remap sub-mesh prim ids back to original face ids; leaf-alignment
+    # padding slots carry -1 and must stay -1 (not alias tree_ids[0]).
+    pi = np.asarray(b4.prim_index)
+    prim = np.where(pi >= 0, tree_ids[np.maximum(pi, 0)], -1).astype(np.int32)
     verts = np.asarray(mesh.vertices)
     faces = np.asarray(mesh.faces)
     fmat = np.asarray(mesh.face_mat)

@@ -67,6 +67,10 @@ class MeshData:
     vertices: np.ndarray          # f32[V,3]
     faces: np.ndarray             # i32[T,3]
     face_material_ids: np.ndarray  # i32[T] (local tinyobj ids, clamped)
+    # Per-corner vn/vt resolved at load (SceneManager.h:280-289 carries
+    # the same data per-vertex); None when the OBJ has no vn/vt lines.
+    normals: np.ndarray | None = None  # f32[T,3,3]
+    uvs: np.ndarray | None = None      # f32[T,3,2]
 
 
 def _parse_mtl(path: str) -> list[MtlMaterial]:
@@ -131,11 +135,21 @@ def load_obj(
     """
     base_dir = os.path.dirname(filename)
     positions: list[tuple] = []
+    vn_pool: list[tuple] = []
+    vt_pool: list[tuple] = []
     faces: list[tuple] = []
     face_mats: list[int] = []
+    corner_vn: list[tuple] = []  # per-face (i0,i1,i2) into vn_pool, -1 absent
+    corner_vt: list[tuple] = []
     local_mats: list[MtlMaterial] = []
     mat_index_by_name: dict[str, int] = {}
     cur_mat = -1
+
+    def _resolve(tok: str, pool_len: int) -> int:
+        if not tok:
+            return -1
+        i = int(tok)
+        return i - 1 if i > 0 else pool_len + i
 
     with open(filename) as f:
         for line in f:
@@ -145,6 +159,10 @@ def load_obj(
             tag = parts[0]
             if tag == "v":
                 positions.append(tuple(float(x) for x in parts[1:4]))
+            elif tag == "vn":
+                vn_pool.append(tuple(float(x) for x in parts[1:4]))
+            elif tag == "vt":
+                vt_pool.append(tuple(float(x) for x in parts[1:3]))
             elif tag == "mtllib":
                 for m in _parse_mtl(os.path.join(base_dir, parts[1])):
                     mat_index_by_name[m.name] = len(local_mats)
@@ -152,13 +170,18 @@ def load_obj(
             elif tag == "usemtl":
                 cur_mat = mat_index_by_name.get(parts[1], -1)
             elif tag == "f":
-                idx = []
+                idx, nidx, tidx = [], [], []
                 for vtok in parts[1:]:
-                    vi = vtok.split("/")[0]
-                    i = int(vi)
-                    idx.append(i - 1 if i > 0 else len(positions) + i)
+                    comps = vtok.split("/")
+                    idx.append(_resolve(comps[0], len(positions)))
+                    tidx.append(_resolve(comps[1] if len(comps) > 1 else "",
+                                         len(vt_pool)))
+                    nidx.append(_resolve(comps[2] if len(comps) > 2 else "",
+                                         len(vn_pool)))
                 for k in range(1, len(idx) - 1):  # fan triangulation
                     faces.append((idx[0], idx[k], idx[k + 1]))
+                    corner_vn.append((nidx[0], nidx[k], nidx[k + 1]))
+                    corner_vt.append((tidx[0], tidx[k], tidx[k + 1]))
                     face_mats.append(cur_mat)
 
     n_global_before = len(global_materials)
@@ -172,10 +195,30 @@ def load_obj(
     ]
     del n_global_before
 
+    # Resolve per-corner shading attributes; a face missing its vn/vt
+    # index gets zeros for that corner (matches tinyobj's -1 sentinel
+    # handling in the reference's vertex fill, SceneManager.h:280-289).
+    t = len(faces)
+    normals = uvs = None
+    if vn_pool and t:
+        vn_arr = np.asarray(vn_pool, np.float32).reshape(-1, 3)
+        ci = np.asarray(corner_vn, np.int64)
+        normals = np.where((ci >= 0)[..., None],
+                           vn_arr[np.clip(ci, 0, len(vn_arr) - 1)], 0.0
+                           ).astype(np.float32)
+    if vt_pool and t:
+        vt_arr = np.asarray(vt_pool, np.float32).reshape(-1, 2)
+        ci = np.asarray(corner_vt, np.int64)
+        uvs = np.where((ci >= 0)[..., None],
+                       vt_arr[np.clip(ci, 0, len(vt_arr) - 1)], 0.0
+                       ).astype(np.float32)
+
     return MeshData(
         vertices=np.asarray(positions, np.float32).reshape(-1, 3),
         faces=np.asarray(faces, np.int32).reshape(-1, 3),
         face_material_ids=np.asarray(clamped, np.int32),
+        normals=normals,
+        uvs=uvs,
     )
 
 
@@ -210,6 +253,7 @@ def load_scene_objs(filenames: list[str]):
     # Per-mesh material-id offset = unique count of the PREVIOUS mesh's
     # face ids only (SceneManager.h:143-145,177) — reference quirk.
     all_verts, all_faces, all_face_mats = [], [], []
+    all_normals, all_uvs = [], []
     v_off = 0
     for i, m in enumerate(meshes):
         if i == 0:
@@ -220,12 +264,23 @@ def load_scene_objs(filenames: list[str]):
         all_verts.append(m.vertices)
         all_faces.append(m.faces + v_off)
         all_face_mats.append(m.face_material_ids + mat_off)
+        t = len(m.faces)
+        all_normals.append(m.normals if m.normals is not None
+                           else np.zeros((t, 3, 3), np.float32))
+        all_uvs.append(m.uvs if m.uvs is not None
+                       else np.zeros((t, 3, 2), np.float32))
         v_off += len(m.vertices)
 
+    # Carry vn/vt only when at least one file supplied them (meshes
+    # without them get zero rows — distinguishable from unit normals).
+    has_vn = any(m.normals is not None for m in meshes)
+    has_vt = any(m.uvs is not None for m in meshes)
     mesh = TriMesh.from_arrays(
         np.concatenate(all_verts, axis=0),
         np.concatenate(all_faces, axis=0),
         np.concatenate(all_face_mats, axis=0),
+        normals=np.concatenate(all_normals, axis=0) if has_vn else None,
+        uvs=np.concatenate(all_uvs, axis=0) if has_vt else None,
     )
     if global_mats:
         materials = Materials.from_lists(

@@ -117,13 +117,24 @@ class TriMesh:
     vertices: jnp.ndarray  # f32[V,3]
     faces: jnp.ndarray     # i32[T,3] vertex indices
     face_mat: jnp.ndarray  # i32[T] material ids (already globally offset)
+    # Per-corner shading attributes from the OBJ's vn/vt pools, resolved
+    # face-aligned at load time (the reference carries them per-vertex,
+    # SceneManager.h:280-289 + Core/Mesh.cuh:5-10, though its shading
+    # uses geometric normals — ours does too; these are data plumbing
+    # for flag-gated smooth shading / texturing). None when absent.
+    normals: Optional[jnp.ndarray] = None  # f32[T,3,3]
+    uvs: Optional[jnp.ndarray] = None      # f32[T,3,2]
 
     @staticmethod
-    def from_arrays(vertices, faces, face_mat) -> "TriMesh":
+    def from_arrays(vertices, faces, face_mat, normals=None, uvs=None) -> "TriMesh":
         return TriMesh(
             vertices=jnp.asarray(vertices, jnp.float32).reshape(-1, 3),
             faces=jnp.asarray(faces, jnp.int32).reshape(-1, 3),
             face_mat=jnp.asarray(face_mat, jnp.int32),
+            normals=None if normals is None
+            else jnp.asarray(normals, jnp.float32).reshape(-1, 3, 3),
+            uvs=None if uvs is None
+            else jnp.asarray(uvs, jnp.float32).reshape(-1, 3, 2),
         )
 
     @staticmethod

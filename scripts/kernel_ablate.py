@@ -82,7 +82,7 @@ def make_kernel(variant: str, zero_row: int):
                             trows.append(tri_ref[0:1])
                     nrec8 = jnp.concatenate(nrecs, axis=0)
                     trow8 = jnp.concatenate(trows, axis=0)
-                    ch8 = jax.lax.bitcast_convert_type(nrec8[:, 24:28], jnp.int32)
+                    ch8 = nrec8[:, 24:28].astype(jnp.int32)  # float-encoded codes
 
                     if leaf:
                         for k in range(8):
@@ -90,7 +90,7 @@ def make_kernel(variant: str, zero_row: int):
                             v0x, v0y, v0z = trec[:, 0:1], trec[:, 1:2], trec[:, 2:3]
                             e1x, e1y, e1z = trec[:, 3:4], trec[:, 4:5], trec[:, 5:6]
                             e2x, e2y, e2z = trec[:, 6:7], trec[:, 7:8], trec[:, 8:9]
-                            ids = jax.lax.bitcast_convert_type(trec[:, 9:11], jnp.int32)
+                            ids = trec[:, 9:11].astype(jnp.int32)  # float-encoded ids
                             hx = dy * e2z - dz * e2y
                             hy = dz * e2x - dx * e2z
                             hz = dx * e2y - dy * e2x

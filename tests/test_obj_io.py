@@ -92,3 +92,48 @@ def test_unknown_usemtl_falls_back_to_zero(tmp_path):
     mesh = load_obj(p, [])
     # unknown material → -1 → clamped to 0 (SceneManager.h:262-264 analog)
     np.testing.assert_array_equal(mesh.face_material_ids, [0])
+
+
+def test_vertex_normals_uvs_roundtrip(tmp_path):
+    """vn/vt lines are loaded into per-corner TriMesh attributes
+    (reference loads them per-vertex, SceneManager.h:280-289 +
+    Core/Mesh.cuh:5-10; shading stays geometric for parity)."""
+    obj = tmp_path / "quad.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vn 0 0 1\nvn 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "f 1/1/1 2/2/1 3/3/2 4/4/2\n")
+    mesh, _ = load_scene_objs([str(obj)])
+    assert mesh.num_tris == 2  # fan triangulation
+    n = np.asarray(mesh.normals)
+    uv = np.asarray(mesh.uvs)
+    assert n.shape == (2, 3, 3) and uv.shape == (2, 3, 2)
+    # Triangle 0 = corners (1,2,3): vn (1,1,2), vt (1,2,3).
+    np.testing.assert_allclose(n[0], [[0, 0, 1], [0, 0, 1], [0, 1, 0]])
+    np.testing.assert_allclose(uv[0], [[0, 0], [1, 0], [1, 1]])
+    # Triangle 1 = corners (1,3,4): vn (1,2,2), vt (1,3,4).
+    np.testing.assert_allclose(n[1], [[0, 0, 1], [0, 1, 0], [0, 1, 0]])
+    np.testing.assert_allclose(uv[1], [[0, 0], [1, 1], [0, 1]])
+
+
+def test_missing_vn_vt_yields_none(tmp_path):
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    mesh, _ = load_scene_objs([str(obj)])
+    assert mesh.normals is None and mesh.uvs is None
+
+
+def test_negative_vn_indices_and_mixed_presence(tmp_path):
+    """Negative vn indices resolve relative to the pool; corners without
+    a vn slot get zero rows."""
+    obj = tmp_path / "mix.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vn 1 0 0\nvn 0 1 0\n"
+        "f 1//-1 2//-2 3\n")
+    mesh, _ = load_scene_objs([str(obj)])
+    n = np.asarray(mesh.normals)
+    np.testing.assert_allclose(n[0, 0], [0, 1, 0])   # -1 -> last vn
+    np.testing.assert_allclose(n[0, 1], [1, 0, 0])   # -2 -> first vn
+    np.testing.assert_allclose(n[0, 2], [0, 0, 0])   # absent -> zeros

@@ -82,6 +82,36 @@ def test_training_reduces_loss(scene):
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+def test_sharded_wavefront_matches_single_device(scene):
+    """The PERF integrator (lane-stable wavefront) under shard_map must
+    match the single-device wavefront — lanes are independent and RNG is
+    pixel-keyed, so sharding the lane axis changes nothing semantically.
+    (Tolerance is 1-ULP: XLA fuses elementwise chains differently inside
+    shard_map, so the identical math rounds differently.)"""
+    from raytracer_tpu.models.wavefront import render_image_wavefront
+    from raytracer_tpu.parallel.sharding import render_image_wavefront_sharded
+
+    cfg = RenderConfig(width=24, height=12, spp=4, max_bounces=4)
+    key = jax.random.key(31)
+    single = np.asarray(render_image_wavefront(scene, _cam(cfg), cfg, key))
+    sharded = np.asarray(
+        render_image_wavefront_sharded(scene, _cam(cfg), cfg, key, mesh=make_mesh()))
+    np.testing.assert_allclose(single, sharded, rtol=0, atol=5e-7)
+
+
+def test_scaling_report_efficiency_normalization(scene):
+    """scaling_report efficiency must be per-device throughput relative to
+    the smallest count (==1.0 at the base count, finite elsewhere)."""
+    from raytracer_tpu.parallel import multihost
+
+    cfg = RenderConfig(width=16, height=8, spp=2, max_bounces=3)
+    rep = multihost.scaling_report(scene, _cam(cfg), cfg, jax.random.key(3),
+                                   device_counts=[2, 4])
+    assert set(rep) == {2, 4}
+    assert rep[2]["efficiency"] == 1.0
+    assert 0.0 < rep[4]["efficiency"] < 10.0
+
+
 def test_multihost_helpers_on_local_mesh(scene):
     """multihost.render_image_multihost degrades gracefully to the local
     device mesh and matches the plain render bit-for-bit."""
