@@ -183,7 +183,7 @@ def main():
     # collapse shares identical leaf contents.
     from raytracer_tpu.scene.builder import partition_brute_faces
     mesh = scene.mesh
-    keep, _ = partition_brute_faces(np.asarray(mesh.vertices), np.asarray(mesh.faces))
+    _, keep = partition_brute_faces(mesh)
     import dataclasses
     dense = dataclasses.replace(
         mesh, faces=jnp.asarray(np.asarray(mesh.faces)[keep]),
