@@ -97,7 +97,11 @@ def worker(backend: str) -> int:
         width, height, spp, bounces = 64, 36, 1, 2
     else:
         width, height, spp, bounces = 2560, 1440, 8, 20
-    cfg = _build(width, height, spp, bounces, spp_per_pass=2)
+    # spp_per_pass == spp: ONE dispatch per frame. Splitting into 2-spp
+    # passes costs ~1.3x — each pass pays its own wavefront drain tail
+    # (scripts/frame_breakdown.py: spp8/mb20 2.14M rays/s vs spp2 1.65M).
+    # A 2K/8spp dispatch is ~7-14 s, which the tunnel tolerates.
+    cfg = _build(width, height, spp, bounces, spp_per_pass=spp)
     cam = showcase_camera(cfg)
 
     def render(key):

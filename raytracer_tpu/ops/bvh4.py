@@ -55,8 +55,9 @@ class Bvh4:
 
 
 def compute_stack_depth(children: np.ndarray) -> int:
-    """Exact worst-case traversal stack bound: ≤3 pushes per level on a
-    root-to-leaf chain → 3 × tree depth (+ slack), rounded up to 8."""
+    """Exact worst-case traversal stack bound: ≤(width−1) pushes per
+    level on a root-to-leaf chain → (width−1) × tree depth (+ slack),
+    rounded up to 8. Width-generic (BVH4 and widened BVH8 trees)."""
     depth = np.zeros(children.shape[0], np.int32)
     maxd = 1
     stack = [0]
@@ -68,7 +69,7 @@ def compute_stack_depth(children: np.ndarray) -> int:
                 depth[c] = depth[nid] + 1
                 maxd = max(maxd, int(depth[c]))
                 stack.append(int(c))
-    bound = 3 * maxd + 4
+    bound = (children.shape[1] - 1) * maxd + 4
     return min(int((bound + 7) // 8 * 8), 256)
 
 
@@ -115,10 +116,24 @@ def align_leaves_to_rows(children: np.ndarray, tri: np.ndarray,
     return ch, new_tri, new_prim, new_fmat
 
 
-def sort4_by_key(tm: jnp.ndarray, cc: jnp.ndarray):
-    """Vectorized 4-element sorting network over the trailing axis:
-    sorts keys `tm` [.,4] ascending, permuting payload `cc` alongside.
-    Shared by the BVH4 per-lane and packet traversals (child ordering)."""
+# Sorting networks (compare-exchange pair lists) by width: 4 = the
+# 5-comparator optimal net, 8 = bitonic (19 comparators).
+SORT_PAIRS = {
+    4: ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)),
+    8: ((0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+        (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6)),
+}
+
+
+def sort_by_key(tm: jnp.ndarray, cc: jnp.ndarray):
+    """Vectorized K-element sorting network over the trailing axis
+    (K = tm.shape[-1] ∈ SORT_PAIRS): sorts keys ascending, permuting
+    payload `cc` alongside. Shared by the per-lane and packet
+    traversals (child ordering), width-generic."""
 
     def cswap(tm, cc, i, j):
         swap = tm[:, i] > tm[:, j]
@@ -129,9 +144,85 @@ def sort4_by_key(tm: jnp.ndarray, cc: jnp.ndarray):
         return (tm.at[:, i].set(ti).at[:, j].set(tj),
                 cc.at[:, i].set(ci).at[:, j].set(cj))
 
-    for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
+    for (i, j) in SORT_PAIRS[tm.shape[-1]]:
         tm, cc = cswap(tm, cc, i, j)
     return tm, cc
+
+
+sort4_by_key = sort_by_key  # back-compat alias
+
+
+def widen_bvh(b4: Bvh4, width: int = 8) -> Bvh4:
+    """Host-side collapse of a BVH4 into a wider tree (default BVH8) by
+    greedily absorbing internal children into their parents (largest
+    child box first — the biggest subtrees gain the most from the
+    extra fanout). Leaf codes and the triangle table are untouched, so
+    the result is output-invariant; only visit counts change: a
+    128-ray sub-warp on interior bounce rays does ~54 lockstep visits
+    on the widened tree vs ~64 on the BVH4
+    (scripts/tree_shape_study.py). Stack bound is recomputed for
+    (width−1) pushes per level."""
+    ch = np.asarray(b4.children)
+    b = np.asarray(b4.bounds)
+    kw = ch.shape[1]
+    if kw >= width:
+        return b4
+
+    def slot_area(bb):
+        d = np.maximum(bb[3:6] - bb[0:3], 0.0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    def expand(node: int):
+        slots = [(int(ch[node, k]), b[node, k])
+                 for k in range(kw) if ch[node, k] != -1]
+        while True:
+            best = None
+            best_a = -1.0
+            for i, (c, bb) in enumerate(slots):
+                if c >= 0:
+                    nc = int((ch[c] != -1).sum())
+                    if len(slots) - 1 + nc <= width:
+                        a = slot_area(bb)
+                        if a > best_a:
+                            best_a = a
+                            best = i
+            if best is None:
+                return slots
+            c, _ = slots.pop(best)
+            slots.extend((int(ch[c, k]), b[c, k])
+                         for k in range(kw) if ch[c, k] != -1)
+
+    kept = {0: 0}
+    order = [0]
+    rows = {}
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        slots = expand(node)
+        rows[node] = slots
+        for c, _ in slots:
+            if c >= 0 and c not in kept:
+                kept[c] = len(order)
+                order.append(c)
+                stack.append(c)
+
+    n = len(order)
+    bounds = np.empty((n, width, 6), np.float32)
+    bounds[:, :, 0:3] = np.inf
+    bounds[:, :, 3:6] = -np.inf
+    children = np.full((n, width), -1, np.int32)
+    for node in order:
+        idx = kept[node]
+        for slot, (c, bb) in enumerate(rows[node]):
+            bounds[idx, slot] = bb
+            children[idx, slot] = kept[c] if c >= 0 else c
+
+    return dataclasses.replace(
+        b4,
+        bounds=jnp.asarray(bounds),
+        children=jnp.asarray(children),
+        stack_depth=compute_stack_depth(children),
+    )
 
 
 def build_bvh4(mesh: TriMesh, bvh: Bvh) -> Bvh4:
@@ -269,36 +360,25 @@ def intersect_bvh4(origins, dirs, bvh4: Bvh4, t_min, t_max):
         is_internal = active & (task >= 0)
         is_leaf = active & (task <= -2)
 
-        # ---- Internal expansion ----
+        # ---- Internal expansion (width-generic: K = children.shape[1]) ----
+        K = bvh4.children.shape[1]
         ni = jnp.where(is_internal, task, 0)
-        b = bvh4.bounds[ni]                     # [N,4,6]
-        ch = bvh4.children[ni]                  # [N,4]
+        b = bvh4.bounds[ni]                     # [N,K,6]
+        ch = bvh4.children[ni]                  # [N,K]
         t0 = (b[:, :, 0:3] - origins[:, None, :]) * inv_d[:, None, :]
         t1 = (b[:, :, 3:6] - origins[:, None, :]) * inv_d[:, None, :]
-        tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), t_min)      # [N,4]
+        tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), t_min)      # [N,K]
         tmax = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), t_best[:, None])
         chit = (tmax > tmin) & (ch != NONE) & is_internal[:, None]
         tmin = jnp.where(chit, tmin, BIG)
 
-        # Sort 4 candidates by entry t (sorting network, vectorized).
-        def cswap(tm, cc, i, j):
-            swap = tm[:, i] > tm[:, j]
-            ti = jnp.where(swap, tm[:, j], tm[:, i])
-            tj = jnp.where(swap, tm[:, i], tm[:, j])
-            ci = jnp.where(swap, cc[:, j], cc[:, i])
-            cj = jnp.where(swap, cc[:, i], cc[:, j])
-            tm = tm.at[:, i].set(ti).at[:, j].set(tj)
-            cc = cc.at[:, i].set(ci).at[:, j].set(cj)
-            return tm, cc
-
-        tm, cc = tmin, ch
-        for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
-            tm, cc = cswap(tm, cc, i, j)
+        # Sort candidates by entry t (shared sorting network).
+        tm, cc = sort_by_key(tmin, ch)
         nhit = jnp.sum(chit.astype(jnp.int32), axis=-1)  # [N] sorted-valid prefix
 
         next_from_internal = jnp.where(nhit > 0, cc[:, 0], NONE)
         # Push the rest far-to-near so nearest pops first.
-        for k in (3, 2, 1):
+        for k in range(K - 1, 0, -1):
             do_push = is_internal & (nhit > k)
             idx = jnp.clip(sp, 0, stack_cap - 1)
             stack = stack.at[lanes, idx].set(jnp.where(do_push, cc[:, k], stack[lanes, idx]))

@@ -134,13 +134,14 @@ def intersect_bvh4_packets(
         is_internal = active & (task >= 0)
         is_leaf = active & (task <= -2)
 
-        # ---- Internal: 4 child boxes, shared per group. ----
+        # ---- Internal: K child boxes, shared per group. ----
+        K = bvh4.children.shape[1]
         ni = jnp.where(is_internal, task, 0)
-        b = bvh4.bounds[ni]       # [G,4,6] — G-sized gather
-        ch = bvh4.children[ni]    # [G,4]
+        b = bvh4.bounds[ni]       # [G,K,6] — G-sized gather
+        ch = bvh4.children[ni]    # [G,K]
 
-        gmin = jnp.full((G, 4), BIG, jnp.float32)
-        for k in range(4):
+        gmin = jnp.full((G, K), BIG, jnp.float32)
+        for k in range(K):
             hit_k, tmin_k = slab(
                 b[:, k, 0:1], b[:, k, 1:2], b[:, k, 2:3],
                 b[:, k, 3:4], b[:, k, 4:5], b[:, k, 5:6], t_best,
@@ -151,14 +152,14 @@ def intersect_bvh4_packets(
                 jnp.where(any_k, jnp.min(jnp.where(hit_k, tmin_k, BIG), axis=1), BIG)
             )
 
-        # Order children by the packet's nearest entry (shared 4-net sort).
-        from raytracer_tpu.ops.bvh4 import sort4_by_key
+        # Order children by the packet's nearest entry (shared net sort).
+        from raytracer_tpu.ops.bvh4 import sort_by_key
 
-        tm, cc = sort4_by_key(gmin, ch)
+        tm, cc = sort_by_key(gmin, ch)
         nhit = jnp.sum((tm < BIG).astype(jnp.int32), axis=1)  # [G]
 
         next_from_internal = jnp.where(nhit > 0, cc[:, 0], NONE)
-        for k in (3, 2, 1):
+        for k in range(K - 1, 0, -1):
             do_push = is_internal & (nhit > k)
             idx = jnp.clip(sp, 0, stack_cap - 1)
             stack = stack.at[groups, idx].set(jnp.where(do_push, cc[:, k], stack[groups, idx]))

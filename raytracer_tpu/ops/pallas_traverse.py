@@ -15,20 +15,24 @@ as a real compile error:
     physically occupies [T,128] (40 MB for 82k tris),
   * grid pipelining allocates per-step staging of whole-array inputs.
 
-Hence the layout: BVH4 nodes are packed FOUR per 128-lane row
-(32 lanes each: 24 bounds floats + 4 child ids float-encoded — NOT
-bitcast, which miscompiles in-kernel on the 2026-08-18 backend, see
-_pack_tables), and
-triangles EIGHT per row (16 lanes each: v0,e1,e2, prim id, material id)
-with every LEAF 8-aligned to one row (bvh4.align_leaves_to_rows) — a
-leaf visit is ONE dynamically-indexed aligned row load and 8 static
-record slices. The kernel runs without a Pallas grid: a fori_loop walks
-all packets of one launch (grid pipelining would double-buffer the
-resident tables). Each (8,128) packet's sublane rows are 8 INDEPENDENT
-128-ray SUB-WARPS (see _kernel_body) — narrow sub-warps cut the
-'any ray hits → descend' divergence penalty ~4x for incoherent interior
-bounce rays while every op still fills full (8,128) vregs. Per-ray
-t_best keeps closest-hit exact (equivalence-tested against brute force).
+Hence the layout (v6): BVH4 nodes are ROW-PER-NODE (lanes 0:24 child
+bounds, 24:28 child codes float-encoded — NOT bitcast, which
+miscompiles in-kernel on the 2026-08-18 backend, see _pack_tables_v6;
+the task id IS the row id, so the fetch has no index math or select
+chain), and triangles EIGHT per row (16 lanes each: v0,e1,e2, prim id,
+material id) with every LEAF 8-aligned to one row
+(bvh4.align_leaves_to_rows) — a leaf visit is ONE dynamically-indexed
+aligned row load and 8 static record slices. The kernel runs without a
+Pallas grid: a fori_loop walks all packets of one launch (grid
+pipelining would double-buffer the resident tables). Each (8,128)
+packet's sublane rows are 8 INDEPENDENT 128-ray SUB-WARPS with DUAL
+WORK UNITS per iteration — one internal-node expansion and one
+leaf-row sweep from split per-chain stacks (see _kernel_body) — narrow
+sub-warps cut the 'any ray hits → descend' divergence penalty ~4x for
+incoherent interior bounce rays while every op still fills full
+(8,128) vregs, and the split units cut lockstep iterations a further
+~1.4x (scripts/dual_unit_study.py). Per-ray t_best keeps closest-hit
+exact (equivalence-tested against brute force).
 
 Two-level split: oversized triangles (Bvh4.brute_tri, selected by
 scene/builder.partition_brute_faces) are swept brute-force from STATIC
@@ -131,26 +135,81 @@ def _pack_tables(bvh4: Bvh4, fmat: jnp.ndarray):
 
 def _select_record(row, sub, n_options, stride):
     """row: (1,128); sub: scalar in [0,n_options) → (1,stride) via a
-    static-slice select chain (dynamic lane offsets are not allowed)."""
+    static-slice select chain (dynamic lane offsets are not allowed).
+    Used by the v5-layout probe scripts (scripts/kernel_*_probe.py);
+    the production v6 kernel is row-per-node and needs no select."""
     rec = row[:, 0:stride]
     for q in range(1, n_options):
         rec = jnp.where(sub == q, row[:, q * stride:(q + 1) * stride], rec)
     return rec
 
 
+def _pack_tables_v6(bvh4: Bvh4, fmat: jnp.ndarray):
+    """v6 layout: ROW-PER-NODE node table + the v5 triangle table.
+
+    Node row n (f32[128]): lanes 0:24 = per-child (min xyz, max xyz),
+    24:28 = float-encoded child codes, rest zero. Child codes: internal
+    → CHILD NODE ROW id (the task IS the row — no //4 %4 fetch math or
+    select chain); leaf → -(2 + tri_row) (leaves are exactly one tri
+    row after bvh4.align_leaves_to_rows, so the count nibble of the
+    Bvh4 encoding is dropped); empty → -1. Costs 512 B/node of VMEM
+    (~3.7 MB for the bunny tree) — affordable; saves ~20 ns of scalar
+    fetch math per chain-visit.
+
+    Returns (node_pack [n4,128], tri_pack [rows,128], n_leaf_rows,
+    n_brute_rows); tri_pack layout (8 records × 16 lanes, brute rows
+    appended, trailing zero row) is identical to _pack_tables."""
+    n4 = bvh4.bounds.shape[0]
+    t = bvh4.tri.shape[0]
+    K = bvh4.children.shape[1]  # node width (4 or widened 8)
+    assert 8 * t + 16 < (1 << 24) and n4 < (1 << 24), (
+        "float-encoded table ids exceed exact-f32 range")
+    assert t % 8 == 0, "Bvh4 triangle table must be leaf-row aligned"
+    assert 7 * K <= 128, "node record must fit one 128-lane row"
+
+    ch = bvh4.children
+    ch = jnp.where(ch <= -2, -(2 + (-ch - 2) // 64), ch)  # leaf → tri row
+    node_pack = jnp.concatenate(
+        [bvh4.bounds.reshape(n4, 6 * K),
+         ch.astype(jnp.float32),
+         jnp.zeros((n4, 128 - 7 * K), jnp.float32)], axis=1)  # [n4,128]
+
+    def pack_rows(tri9, prim, mat):
+        tt = tri9.shape[0]
+        vals = jnp.concatenate(
+            [tri9,
+             prim.astype(jnp.float32)[:, None],
+             mat.astype(jnp.float32)[:, None],
+             jnp.zeros((tt, TRI_STRIDE - 11), jnp.float32)], axis=1)
+        return vals.reshape(-1, 8 * TRI_STRIDE)
+
+    tri_pack = pack_rows(bvh4.tri, bvh4.prim_index, fmat)
+    n_leaf_rows = tri_pack.shape[0]
+    if bvh4.brute_tri is not None:
+        assert bvh4.brute_tri.shape[0] % 8 == 0
+        tri_pack = jnp.concatenate(
+            [tri_pack, pack_rows(bvh4.brute_tri, bvh4.brute_prim, bvh4.brute_mat)])
+    n_brute_rows = tri_pack.shape[0] - n_leaf_rows
+    tri_pack = jnp.concatenate(
+        [tri_pack, jnp.zeros((1, 8 * TRI_STRIDE), jnp.float32)])
+    return node_pack, tri_pack, n_leaf_rows, n_brute_rows
+
+
 def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
-                 brute_rows: tuple, max_iters: int):
+                 brute_rows: tuple, max_iters: int, n_children: int = 4):
     def kernel(node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                t_out_ref, id_out_ref, mat_out_ref,
                nx_out_ref, ny_out_ref, nz_out_ref):
-        def body_scoped(task_ref, sp_ref, stack_ref):
+        def body_scoped(ntask_ref, sp_ref, ltask_ref, lsp_ref,
+                        stack_ref, lstack_ref):
             def per_packet(p, _):
                 _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters,
-                             p,
+                             n_children, p,
                              node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                              t_out_ref, id_out_ref, mat_out_ref,
                              nx_out_ref, ny_out_ref, nz_out_ref,
-                             task_ref, sp_ref, stack_ref)
+                             ntask_ref, sp_ref, ltask_ref, lsp_ref,
+                             stack_ref, lstack_ref)
                 return 0
 
             jax.lax.fori_loop(0, n_packets, per_packet, 0)
@@ -158,32 +217,45 @@ def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
         pl.run_scoped(body_scoped,
                       pltpu.SMEM((P_SUB,), jnp.int32),
                       pltpu.SMEM((P_SUB,), jnp.int32),
+                      pltpu.SMEM((P_SUB,), jnp.int32),
+                      pltpu.SMEM((P_SUB,), jnp.int32),
+                      pltpu.SMEM((P_SUB * stack_cap,), jnp.int32),
                       pltpu.SMEM((P_SUB * stack_cap,), jnp.int32))
 
     return kernel
 
 
-def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters, p,
+def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters,
+                 n_children, p,
                  node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                  t_out_ref, id_out_ref, mat_out_ref,
                  nx_out_ref, ny_out_ref, nz_out_ref,
-                 task_ref, sp_ref, stack_ref):
-    """SUB-WARP traversal: the 8 sublane rows of the (8,128) packet are
-    independent 128-ray sub-warps, each with its own SMEM stack. One
-    loop iteration advances every live sub-warp one node visit, so the
-    per-iteration overhead (loop machinery, serialized loads, scalar
-    decisions ≈ 1.2 µs measured for the packet-wide kernel) is amortized
-    8×, and the 'any ray hits → descend' divergence penalty applies to
-    128 rays instead of 1024 (≈4x fewer lockstep visits for incoherent
-    interior bounce rays, scripts/divergence_study.py).
+                 ntask_ref, sp_ref, ltask_ref, lsp_ref,
+                 stack_ref, lstack_ref):
+    """DUAL-UNIT SUB-WARP traversal (v6): the 8 sublane rows of the
+    (8,128) packet are independent 128-ray sub-warps (chains); each
+    iteration advances every chain by ONE internal-node expansion (from
+    an internal-only SMEM stack) AND ONE leaf-row Möller–Trumbore sweep
+    (from a separate leaf-row SMEM stack), both straight-line (no
+    lax.cond). In v5 a leaf visit burned a whole iteration whose slab
+    phase was garbage; with split work units, iterations per bounce
+    sweep drop 64 → ~45 on interior bounce rays at the same chain-visit
+    count (scripts/dual_unit_study.py).
 
-    The iteration is STRAIGHT-LINE (no lax.cond): every sub-warp does
-    both an internal expansion (4 slab tests with (8,1)-broadcast child
-    bounds) and a leaf sweep (8 Möller–Trumbore tests from one tri row).
-    Sub-warps not at an internal node have their slab results ignored in
-    the scalar decision phase; sub-warps not at a leaf read a dedicated
-    all-zero triangle row whose degenerate records self-reject at the
-    determinant epsilon — no vector masks anywhere."""
+    Cost model (calibrated by scripts/kernel_floor_probe.py and the
+    scalar-op analysis in ROADMAP): Mosaic scalar ops are ~1 ns each
+    and vreg→scalar extracts ~3 ns; the iteration cost IS the scalar op
+    count. Hence (a) the node table is ROW-PER-NODE (task == row id, no
+    //4 %4 or select chain), and (b) child ordering — hit masks, entry
+    keys, and the kind-split sort4 networks — runs on (8,4) VECTOR
+    tiles for all 8 chains at once; the scalar phase only extracts the
+    sorted codes it actually pushes.
+
+    The leaf stack is bounded by a STALL guard: if it nears capacity,
+    the internal unit re-schedules its current node (recomputed next
+    iteration) while the leaf unit drains — a sound bound without a
+    growable queue. Sub-warps with no leaf pending read the dedicated
+    all-zero triangle row (degenerate records self-reject)."""
     o_pk = o_ref[pl.ds(p, 1)][0]                                 # (3,8,128)
     d_pk = d_ref[pl.ds(p, 1)][0]
     ox, oy, oz = o_pk[0], o_pk[1], o_pk[2]                       # (8,128)
@@ -260,22 +332,26 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters, p,
             state0 = mt_record(tuple(trec[:, c:c + 1] for c in range(9)),
                                ids[:, 0:1], ids[:, 1:2], state0)
     t_best0, best0, mat0, n0x, n0y, n0z = state0
-    rec0 = node_ref[0:1, 0:NODE_STRIDE]
+    K = n_children
+    rec0 = node_ref[0:1, 0:7 * K]
     neg = jnp.float32(-BIG)
 
     def bval0(k, j):
         return rec0[0, k * 6 + j]
 
-    finite = [bval0(k, 3) > -BIG for k in range(4)]
+    finite = [bval0(k, 3) > -BIG for k in range(K)]
 
     def min4(j):
-        return jnp.minimum(jnp.minimum(bval0(0, j), bval0(1, j)),
-                           jnp.minimum(bval0(2, j), bval0(3, j)))
+        r = bval0(0, j)
+        for k in range(1, K):
+            r = jnp.minimum(r, bval0(k, j))
+        return r
 
     def max4(j):
-        vals = [jnp.where(finite[k], bval0(k, j), neg) for k in range(4)]
-        return jnp.maximum(jnp.maximum(vals[0], vals[1]),
-                           jnp.maximum(vals[2], vals[3]))
+        r = neg
+        for k in range(K):
+            r = jnp.maximum(r, jnp.where(finite[k], bval0(k, j), neg))
+        return r
 
     rhit, _ = slab(min4(0), min4(1), min4(2), max4(3), max4(4), max4(5), t_best0)
     alive_cnt = jnp.sum(rhit.astype(jnp.int32), axis=1, keepdims=True)  # (8,1)
@@ -283,8 +359,10 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters, p,
     n_alive0 = jnp.int32(0)
     for s in range(P_SUB):
         t0s = jnp.where(alive_cnt[s, 0] > 0, jnp.int32(0), NONE)
-        task_ref[s] = t0s
+        ntask_ref[s] = t0s
         sp_ref[s] = jnp.int32(0)
+        ltask_ref[s] = NONE  # leaf unit idle (reads the zero row)
+        lsp_ref[s] = jnp.int32(0)
         n_alive0 += (t0s != NONE).astype(jnp.int32)
 
     # The loop cond ALSO counts down from a static bound that no real
@@ -303,23 +381,21 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters, p,
     def body(carry):
         iters_left, n_alive, t_best, best, mat, nx, ny, nz = carry
 
-        # ---- Fetch: one node record and one triangle row per sub-warp.
-        nrecs, trows, tasks = [], [], []
+        # ---- Fetch: one node row (internal unit, row id == task) and
+        # one tri row (leaf unit) per chain.
+        nrecs, trows, ntasks = [], [], []
         for s in range(P_SUB):
-            task = task_ref[s]
-            tasks.append(task)
-            is_int = task >= 0
-            is_leaf = task <= -2
-            code = -task - 2
-            nrow = node_ref[pl.ds(jnp.where(is_int, task // 4, 0), 1)]
-            nrecs.append(_select_record(nrow, jnp.where(is_int, task % 4, 0),
-                                        4, NODE_STRIDE))
-            trows.append(tri_ref[pl.ds(jnp.where(is_leaf, code // 64, zero_row), 1)])
-        nrec8 = jnp.concatenate(nrecs, axis=0)                   # (8,32)
+            nt = ntask_ref[s]
+            lt = ltask_ref[s]
+            ntasks.append(nt)
+            nrow = node_ref[pl.ds(jnp.where(nt >= 0, nt, 0), 1)]
+            nrecs.append(nrow[:, 0:7 * K])
+            trows.append(tri_ref[pl.ds(jnp.where(lt >= 0, lt, zero_row), 1)])
+        nrec8 = jnp.concatenate(nrecs, axis=0)                   # (8,7K)
         trow8 = jnp.concatenate(trows, axis=0)                   # (8,128)
-        ch8 = nrec8[:, 24:28].astype(jnp.int32)  # float-encoded (no bitcast)
+        ch8 = nrec8[:, 6 * K:7 * K].astype(jnp.int32)  # float-encoded (no bitcast)
 
-        # ---- Leaf sweep first (its t_best updates tighten the slabs).
+        # ---- Leaf unit first (its t_best updates tighten the slabs).
         # Alignment-padding and zero-row records are degenerate
         # (e1=e2=0 → a==0): self-rejecting, no count/leaf-ness gate.
         state = (t_best, best, mat, nx, ny, nz)
@@ -330,57 +406,83 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters, p,
                               ids[:, 0:1], ids[:, 1:2], state)
         t_best, best, mat, nx, ny, nz = state
 
-        # ---- Internal expansion: 4 child slabs, (8,1) bounds columns.
+        # ---- Internal unit: 4 child slabs, (8,1) bounds columns.
         def bcol(k, j):
             c = k * 6 + j
             return nrec8[:, c:c + 1]                             # (8,1)
 
         hks, reps = [], []
-        for k in range(4):
+        for k in range(K):
             hk, tk = slab(bcol(k, 0), bcol(k, 1), bcol(k, 2),
                           bcol(k, 3), bcol(k, 4), bcol(k, 5), t_best)
             hks.append(hk)
             # Representative-lane ordering key (lane 0 of each sub-warp).
             reps.append(jnp.where(hk, tk, HALF_BIG)[:, 0:1])     # (8,1)
-        # Only cross-lane work: two LANE-axis reductions of bit-packed
+        # Only cross-lane work: K/2 LANE-axis reductions of bit-packed
         # per-child hit counts (each count ≤ 128 fits 16 bits).
-        pa = jnp.sum(hks[0].astype(jnp.int32) + (hks[1].astype(jnp.int32) << 16),
-                     axis=1, keepdims=True)                      # (8,1)
-        pb = jnp.sum(hks[2].astype(jnp.int32) + (hks[3].astype(jnp.int32) << 16),
-                     axis=1, keepdims=True)
+        packs = [jnp.sum(hks[i].astype(jnp.int32)
+                         + (hks[i + 1].astype(jnp.int32) << 16),
+                         axis=1, keepdims=True)                  # (8,1)
+                 for i in range(0, K, 2)]
 
-        # ---- Scalar decisions per sub-warp: order, push, descend/pop.
+        # ---- Vector decision prep: hit masks, entry keys, and the two
+        # kind-split sort networks run on (8,K) tiles — one instruction
+        # stream orders the children of all 8 chains at once. Empty
+        # slots carry (+inf,-inf) boxes, which the UNORDERED slab reads
+        # as tmin=-inf → "hit"; gate with the child ids.
+        anyk_cols = []
+        for p in packs:
+            anyk_cols.extend([p & 0xFFFF, p >> 16])
+        anyk = jnp.concatenate(anyk_cols, axis=1) > 0
+        valid = anyk & (ch8 != NONE)                             # (8,K)
+        rep4 = jnp.concatenate(reps, axis=1)                     # (8,K)
+        is_leaf4 = ch8 <= -2
+        k_int = jnp.where(valid & ~is_leaf4, rep4, BIG)
+        k_leaf = jnp.where(valid & is_leaf4, rep4, BIG)
+
+        from raytracer_tpu.ops.bvh4 import SORT_PAIRS
+
+        def vsortk(keys, codes):
+            kc = [keys[:, k:k + 1] for k in range(K)]
+            cc = [codes[:, k:k + 1] for k in range(K)]
+            for (i, j) in SORT_PAIRS[K]:
+                sw = kc[i] > kc[j]
+                kc[i], kc[j] = (jnp.where(sw, kc[j], kc[i]),
+                                jnp.where(sw, kc[i], kc[j]))
+                cc[i], cc[j] = (jnp.where(sw, cc[j], cc[i]),
+                                jnp.where(sw, cc[i], cc[j]))
+            return kc, cc
+
+        ki, ci = vsortk(k_int, ch8)   # internal children, near-first
+        kl, cl = vsortk(k_leaf, ch8)  # leaf children, near-first
+        n_int = (ki[0] < BIG).astype(jnp.int32)
+        n_leaf = (kl[0] < BIG).astype(jnp.int32)
+        for k in range(1, K):
+            n_int = n_int + (ki[k] < BIG).astype(jnp.int32)
+            n_leaf = n_leaf + (kl[k] < BIG).astype(jnp.int32)
+
+        # ---- Scalar phase per chain: extract sorted codes, push, pop.
         new_alive = jnp.int32(0)
         for s in range(P_SUB):
-            task = tasks[s]
-            is_int = task >= 0
-            a01 = pa[s, 0]
-            a23 = pb[s, 0]
-            anyk = [(a01 & 0xFFFF) > 0, (a01 >> 16) > 0,
-                    (a23 & 0xFFFF) > 0, (a23 >> 16) > 0]
-            # Empty slots carry (+inf,-inf) boxes, which the UNORDERED
-            # slab reads as tmin=-inf → "hit"; gate with the child ids.
-            anyk = [a & (ch8[s, k] != NONE) for k, a in enumerate(anyk)]
-            nhit = (anyk[0].astype(jnp.int32) + anyk[1].astype(jnp.int32)
-                    + anyk[2].astype(jnp.int32) + anyk[3].astype(jnp.int32))
-            nhit = jnp.where(is_int, nhit, 0)  # leaf/done slab data is garbage
-            tm = [jnp.where(anyk[k], reps[k][s, 0], BIG) for k in range(4)]
-            cc = [ch8[s, 0], ch8[s, 1], ch8[s, 2], ch8[s, 3]]
-            for (i, j) in ((0, 2), (1, 3), (0, 1), (2, 3), (1, 2)):
-                swap = tm[i] > tm[j]
-                tm[i], tm[j] = (jnp.where(swap, tm[j], tm[i]),
-                                jnp.where(swap, tm[i], tm[j]))
-                cc[i], cc[j] = (jnp.where(swap, cc[j], cc[i]),
-                                jnp.where(swap, cc[i], cc[j]))
-
-            # Branchless far-to-near pushes: child k (k=1..nhit-1) lands
-            # at sp+(nhit-1-k); non-pushed ks clamp to sp and are either
-            # overwritten by a later (smaller-k) valid store or left dead
-            # below the new stack top.
+            nt = ntasks[s]
+            is_int = nt >= 0
             sp = sp_ref[s]
+            lsp = lsp_ref[s]
+            # STALL guard: if the leaf stack is nearly full, re-schedule
+            # this node (recomputed next iteration) while the leaf unit
+            # drains — a sound lstack bound without a growable queue.
+            # Threshold leaves room for K-1 pushes above the clamp.
+            stall = lsp >= stack_cap - 4 - K
+            nh_i = jnp.where(is_int & ~stall, n_int[s, 0], 0)
+            nh_l = jnp.where(is_int & ~stall, n_leaf[s, 0], 0)
+
+            # Branchless far-to-near pushes: child k (k=1..nh-1) lands
+            # at sp+(nh-1-k); non-pushed ks clamp to sp and are either
+            # overwritten by a later (smaller-k) valid store or left
+            # dead below the new stack top.
             base = s * stack_cap
-            for k in (3, 2, 1):
-                stack_ref[base + sp + jnp.maximum(nhit - 1 - k, 0)] = cc[k]
+            for k in range(K - 1, 0, -1):
+                stack_ref[base + sp + jnp.maximum(nh_i - 1 - k, 0)] = ci[k][s, 0]
             # Clamped at stack_cap-4: with callers allocating the build-
             # time worst-case bound +4 headroom this NEVER binds (the
             # interpret-mode equivalence tests would catch it if it did);
@@ -388,15 +490,31 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters, p,
             # out-of-bounds SMEM write, which faults the whole device
             # under the 2026-08-18 runtime (kernel_morph.py: v11 is the
             # unclamped twin of passing v10 and crashes the TPU worker).
-            new_sp = jnp.minimum(sp + jnp.maximum(nhit - 1, 0),
+            new_sp = jnp.minimum(sp + jnp.maximum(nh_i - 1, 0),
                                  stack_cap - 4)
-            desc = jnp.where(nhit > 0, cc[0], NONE)
-            do_pop = (desc == NONE) & (new_sp > 0) & (task != NONE)
+            desc = jnp.where(nh_i > 0, ci[0][s, 0], NONE)
+            do_pop = ~stall & (desc == NONE) & (new_sp > 0) & (nt != NONE)
             popped = stack_ref[base + jnp.maximum(new_sp - 1, 0)]
-            nxt = jnp.where(do_pop, popped, desc)
-            task_ref[s] = nxt
+            nxt = jnp.where(stall, nt, jnp.where(do_pop, popped, desc))
+            ntask_ref[s] = nxt
             sp_ref[s] = jnp.where(do_pop, new_sp - 1, new_sp)
-            new_alive += (nxt != NONE).astype(jnp.int32)
+
+            # Leaf unit: hit leaf children feed the leaf stack (codes
+            # are -(2+tri_row)); the nearest goes straight to the next
+            # iteration's sweep slot, the rest push far-to-near.
+            for k in range(K - 1, 0, -1):
+                lstack_ref[base + lsp + jnp.maximum(nh_l - 1 - k, 0)] = (
+                    -cl[k][s, 0] - 2)
+            new_lsp = jnp.minimum(lsp + jnp.maximum(nh_l - 1, 0),
+                                  stack_cap - 4)
+            lt_new = jnp.where(nh_l > 0, -cl[0][s, 0] - 2, NONE)
+            l_pop = (lt_new == NONE) & (new_lsp > 0)
+            l_popped = lstack_ref[base + jnp.maximum(new_lsp - 1, 0)]
+            lt_new = jnp.where(l_pop, l_popped, lt_new)
+            ltask_ref[s] = lt_new
+            lsp_ref[s] = jnp.where(l_pop, new_lsp - 1, new_lsp)
+
+            new_alive += ((nxt != NONE) | (lt_new != NONE)).astype(jnp.int32)
 
         return iters_left - 1, new_alive, t_best, best, mat, nx, ny, nz
 
@@ -414,23 +532,26 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters, p,
 
 @functools.partial(jax.jit,
                    static_argnames=("t_min", "interpret", "stack_cap",
-                                    "n_brute_rows"))
+                                    "n_brute_rows", "n_children"))
 def _traverse_packets(node_pack, tri_pack, o_pk, d_pk, tlim_pk,
                       t_min=1e-3, interpret=False, stack_cap=STACK_CAP,
-                      n_brute_rows=0):
+                      n_brute_rows=0, n_children=4):
     g = o_pk.shape[0]
     zero_row = tri_pack.shape[0] - 1  # dedicated degenerate row
     brute_rows = tuple(range(zero_row - n_brute_rows, zero_row))
-    # Sound traversal-iteration bound: each tree node is visited at most
-    # once per sub-warp per query, so internal visits ≤ 4*node_rows and
-    # leaf visits ≤ leaf rows. Never binds in practice (~40 iters).
-    max_iters = 4 * node_pack.shape[0] + (zero_row - n_brute_rows) + 8
+    # Sound traversal-iteration bound: every iteration with any unit
+    # alive performs at least one node expansion or one leaf-row sweep,
+    # each tree node is expanded at most once per sub-warp per query,
+    # and each leaf row is swept at most once — so iterations ≤ nodes +
+    # leaf rows. Never binds in practice (~45 iters).
+    max_iters = node_pack.shape[0] + (zero_row - n_brute_rows) + 8
 
     def launch(args):
         o_c, d_c, t_c = args
         gc = o_c.shape[0]
         return pl.pallas_call(
-            _make_kernel(t_min, gc, stack_cap, zero_row, brute_rows, max_iters),
+            _make_kernel(t_min, gc, stack_cap, zero_row, brute_rows, max_iters,
+                         n_children),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_shape=[
@@ -518,14 +639,18 @@ def trace_closest_pallas(origins, dirs, bvh4: Bvh4, t_max, t_min: float = 1e-3,
     if fmat is None:
         fmat = jnp.zeros((bvh4.tri.shape[0],), jnp.int32)
     # +4 headroom above the build-time worst-case bound so the kernel's
-    # overflow clamp (stack_cap - 4) never binds on a correct build.
+    # overflow clamp (stack_cap - 4) never binds on a correct build. The
+    # leaf stack shares the same capacity; it is bounded by the in-kernel
+    # stall guard (internal unit pauses when lsp >= stack_cap - 8), so
+    # overflow is impossible by construction rather than by a bound.
     stack_cap = bvh4.stack_depth + 4
     assert stack_cap <= STACK_CAP, (
         f"BVH4 stack bound {bvh4.stack_depth}+4 exceeds kernel capacity {STACK_CAP}")
-    node_pack, tri_pack, _, n_brute_rows = _pack_tables(bvh4, fmat)
+    node_pack, tri_pack, _, n_brute_rows = _pack_tables_v6(bvh4, fmat)
     t_pk, id_pk, m_pk, nx_pk, ny_pk, nz_pk = _traverse_packets(
         node_pack, tri_pack, o_pk, d_pk, tlim, t_min=t_min, interpret=interpret,
         stack_cap=stack_cap, n_brute_rows=n_brute_rows,
+        n_children=int(bvh4.children.shape[1]),
     )
 
     if sort:

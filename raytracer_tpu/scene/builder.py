@@ -172,6 +172,21 @@ def build_scene_bvh4(mesh: TriMesh):
 
         b4 = build_bvh4(sub, build_lbvh(sub))
 
+    # Optional widening to BVH8 (output-invariant; all backends are
+    # width-generic). MEASURED SLOWER on-chip than BVH4 for the dual-unit
+    # kernel (KERNEL_STATS r2: 2K spp2/mb20 5.31 s at width 8 vs 3.76 s at
+    # width 4): the ~1.2x fewer lockstep visits (tree_shape_study.py) lose
+    # to the per-iteration cost of 8 slab tests + 7+7 clamped stack
+    # stores + sort-8 networks. Kept behind RAYTRACER_TPU_BVH_WIDTH for
+    # future kernels that amortize pushes (group-row stacks).
+    import os as _os
+
+    width = int(_os.environ.get("RAYTRACER_TPU_BVH_WIDTH", "4"))
+    if width > 4:
+        from raytracer_tpu.ops.bvh4 import widen_bvh
+
+        b4 = widen_bvh(b4, width)
+
     if not brute_ids.size:
         return b4
 
