@@ -202,9 +202,35 @@ def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
                nx_out_ref, ny_out_ref, nz_out_ref):
         def body_scoped(ntask_ref, sp_ref, ltask_ref, lsp_ref,
                         stack_ref, lstack_ref):
+            # PACKET-INVARIANT hoists, computed once per launch instead
+            # of once per packet (the sublane-replicating concatenates
+            # and the root-box reduction cost ~15 us/packet when traced
+            # inside the packet loop — scripts/packet_cost_probe.py):
+            # the brute-row replicas and the root-box (8,1) columns.
+            K = n_children
+            brute_trows = [
+                jnp.concatenate([tri_ref[r:r + 1]] * P_SUB, axis=0)
+                for r in brute_rows]
+            row0 = jnp.concatenate([node_ref[0:1]] * P_SUB, axis=0)
+            neg = jnp.float32(-BIG)
+
+            def rcol(k, j):
+                c = k * 6 + j
+                return row0[:, c:c + 1]                      # (8,1)
+
+            root_lo = [rcol(0, j) for j in range(3)]
+            root_hi = [jnp.full((P_SUB, 1), neg) for _ in range(3)]
+            for k in range(K):
+                fin = rcol(k, 3) > neg
+                for j in range(3):
+                    if k > 0:
+                        root_lo[j] = jnp.minimum(root_lo[j], rcol(k, j))
+                    root_hi[j] = jnp.maximum(
+                        root_hi[j], jnp.where(fin, rcol(k, 3 + j), neg))
+
             def per_packet(p, _):
-                _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters,
-                             n_children, p,
+                _kernel_body(t_min, stack_cap, zero_row, max_iters,
+                             n_children, brute_trows, root_lo, root_hi, p,
                              node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                              t_out_ref, id_out_ref, mat_out_ref,
                              nx_out_ref, ny_out_ref, nz_out_ref,
@@ -225,8 +251,8 @@ def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
     return kernel
 
 
-def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters,
-                 n_children, p,
+def _kernel_body(t_min, stack_cap, zero_row, max_iters,
+                 n_children, brute_trows, root_lo, root_hi, p,
                  node_ref, tri_ref, o_ref, d_ref, tlim_ref,
                  t_out_ref, id_out_ref, mat_out_ref,
                  nx_out_ref, ny_out_ref, nz_out_ref,
@@ -316,16 +342,11 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters,
         return t_best, best, mat, nx, ny, nz
 
     # Brute-force pre-pass (two-level split): sweep the large triangles
-    # from STATIC rows, priming t_best — after the split the root box
-    # only covers the dense mesh, so most packets never enter the tree.
+    # from the packet-invariant replicated rows (hoisted in _make_kernel),
+    # priming t_best — after the split the root box only covers the
+    # dense mesh, so most packets never enter the tree.
     state0 = (t_best0, best0, mat0, n0, n0, n0)
-    for r in brute_rows:
-        # Replicate the row across sublanes once (concatenate — a lazy
-        # broadcast_to gets folded and re-infers an unsupported
-        # (1,1)→(8,128) broadcast); per-field (8,1) slices then
-        # lane-broadcast, each step supported by Mosaic.
-        row = tri_ref[r:r + 1]
-        trow = jnp.concatenate([row] * P_SUB, axis=0)            # (8,128)
+    for trow in brute_trows:
         for k in range(8):
             trec = trow[:, k * TRI_STRIDE:(k + 1) * TRI_STRIDE]  # (8,16)
             ids = trec[:, 9:11].astype(jnp.int32)  # float-encoded (no bitcast)
@@ -333,27 +354,13 @@ def _kernel_body(t_min, stack_cap, zero_row, brute_rows, max_iters,
                                ids[:, 0:1], ids[:, 1:2], state0)
     t_best0, best0, mat0, n0x, n0y, n0z = state0
     K = n_children
-    rec0 = node_ref[0:1, 0:7 * K]
-    neg = jnp.float32(-BIG)
-
-    def bval0(k, j):
-        return rec0[0, k * 6 + j]
-
-    finite = [bval0(k, 3) > -BIG for k in range(K)]
-
-    def min4(j):
-        r = bval0(0, j)
-        for k in range(1, K):
-            r = jnp.minimum(r, bval0(k, j))
-        return r
-
-    def max4(j):
-        r = neg
-        for k in range(K):
-            r = jnp.maximum(r, jnp.where(finite[k], bval0(k, j), neg))
-        return r
-
-    rhit, _ = slab(min4(0), min4(1), min4(2), max4(3), max4(4), max4(5), t_best0)
+    # Root test from the hoisted (8,1) root-box columns. The original
+    # scalar form extracted ~6*K individual non-zero lanes from the
+    # root row; such extracts are the SLOW Mosaic operation, and that
+    # block alone made every packet cost ~40 us before its traversal
+    # loop even started (scripts/packet_cost_probe.py 'dead' packets).
+    rhit, _ = slab(root_lo[0], root_lo[1], root_lo[2],
+                   root_hi[0], root_hi[1], root_hi[2], t_best0)
     alive_cnt = jnp.sum(rhit.astype(jnp.int32), axis=1, keepdims=True)  # (8,1)
 
     n_alive0 = jnp.int32(0)
