@@ -33,6 +33,18 @@ class RenderConfig:
     max_rays_per_pass: int = 1 << 20
     # spp per inner accumulation pass (bounds peak memory for huge spp).
     spp_per_pass: int = 64
+    # Drain-tail compaction cascade for the wavefront integrator: once
+    # the pending-lane count falls below n/div, the survivors are packed
+    # (one nonzero+gather, outside the hot loop) into an n/div-sized
+    # buffer and the bounce loop continues there. Kills the late-frame
+    # iterations where <10% of lanes are live but every sweep still
+    # paid full-size camera/RNG/traversal cost (~50 ms/iteration at 2K).
+    # Bit-exact: RNG is (pixel,sample,bounce)-keyed and per-lane fp
+    # accumulation order is preserved (tests/test_wavefront.py).
+    # () disables compaction (the round-1 lane-stable behavior). Stage
+    # overhead is ~18 gather/scatter thunks (~10 ms at 2K) vs ~50 ms per
+    # saved full-size iteration, so the cascade starts early (n/2).
+    drain_cascade: tuple = (2, 8, 32, 128)
     # Re-sort the live wavefront by (direction octant, origin Morton
     # cell) before each bounce's traversal. MEASURED HARMFUL with the
     # sub-warp kernel + two-level split (the argsort/permute gathers

@@ -13,12 +13,23 @@ whose path terminated immediately starts its pixel's next sample in the
 same iteration. Total iterations ≈ mean path length × spp + one drain
 tail, instead of max_bounces × spp.
 
-This shape is deliberately scatter-free (an earlier variant that let
-lanes claim arbitrary pixels via prefix-sum compaction spent most of its
+The hot loop is scatter-free (an earlier variant that let lanes claim
+arbitrary pixels via per-BOUNCE prefix-sum compaction spent most of its
 time in the TPU scatter-add and index gathers): accumulation is a
 per-lane elementwise add, pixel ids are static per lane, and the only
 gathers left are the BVH node/triangle reads inside traversal and the
 material table lookups.
+
+The DRAIN TAIL is the exception (round 2): mean path length is ~3
+bounces but the deepest lane runs spp*max_bounces iterations, so
+without compaction most iterations sweep all n lanes at <10% occupancy
+— at 2K/mb20 that was over half the frame. cfg.drain_cascade packs the
+pending lanes into geometrically smaller buffers ONCE per stage (a
+nonzero + ~10 gathers outside the hot loop — amortized, unlike
+per-bounce compaction), preserving bit-exact results: draws depend
+only on (pixel, sample, bounce), per-lane fp accumulation order is
+kept (acc rides through the gather as a running total), and kernel
+results are per-lane independent so packet regrouping is invisible.
 
 Because RNG is keyed by (pixel, sample, bounce, purpose) — see
 utils/rng.py — this integrator traces the SAME paths as the megakernel
@@ -66,10 +77,8 @@ def render_pixels_wavefront(
     # when available; otherwise the generic ops path.
     use_fused = isect.fused_trace_available(scene, n)
 
-    def cond(state):
-        return jnp.any(state["active"] | (state["sample"] < spp))
-
-    def body(state):
+    def make_body(px, py, pkeys):
+      def body(state):
         active = state["active"]
         sample = state["sample"]
         bounce = jnp.where(active, state["bounce"], 0)
@@ -78,7 +87,17 @@ def render_pixels_wavefront(
         claim = ~active & (sample < spp)
         skeys = rngu.fold(pkeys, sample + sample_offset)
         kb = rngu.fold(skeys, bounce)
-        o_new, d_new = generate_rays(cam, px, py, cfg.width, cfg.height, skeys)
+        # Camera sweep only when some lane actually starts a sample:
+        # once the sample budget is exhausted (every post-budget/drain
+        # iteration) this skips the full raygen math, which costs more
+        # per iteration than the RNG+bookkeeping combined at 2K
+        # (scripts/xla_iter_probe.py). Identity branch returns the
+        # current rays; the `claim` selects below make it a no-op.
+        o_new, d_new = jax.lax.cond(
+            jnp.any(claim),
+            lambda _: generate_rays(cam, px, py, cfg.width, cfg.height, skeys),
+            lambda _: (state["origins"], state["dirs"]),
+            None)
         cl3 = claim[:, None]
         origins = jnp.where(cl3, o_new, state["origins"])
         dirs = jnp.where(cl3, d_new, state["dirs"])
@@ -138,6 +157,12 @@ def render_pixels_wavefront(
             "acc": acc,
         }
 
+      return body
+
+    def n_pending(state):
+        return jnp.sum((state["active"] | (state["sample"] < spp))
+                       .astype(jnp.int32))
+
     state = {
         "origins": jnp.zeros((n, 3), jnp.float32),
         "dirs": jnp.ones((n, 3), jnp.float32),
@@ -147,7 +172,47 @@ def render_pixels_wavefront(
         "active": jnp.zeros((n,), bool),
         "acc": jnp.zeros((n, 3), jnp.float32),
     }
-    state = jax.lax.while_loop(cond, body, state)
+
+    # --- Drain-tail compaction cascade (cfg.drain_cascade). Mean path
+    # length is ~3 bounces but the deepest lane takes up to
+    # spp*max_bounces iterations; without compaction every drain
+    # iteration sweeps ALL n lanes (full camera/RNG/traversal cost at
+    # <10% occupancy). Each stage runs the SAME body until the pending
+    # count fits the next (smaller) buffer, then packs the survivors
+    # with one nonzero+gather. Bit-exact by construction: a lane's
+    # draws depend only on (pixel, sample, bounce) — not on buffer
+    # position — and its acc is gathered/scattered as a running total,
+    # preserving per-lane fp addition order. Kernel results are
+    # per-lane independent, so packet regrouping is also exact.
+    gran = 1024 if n >= 65536 else 8  # packet-aligned on real frames
+    caps = []
+    for div in cfg.drain_cascade:
+        c = -(-max(n // int(div), 1) // gran) * gran
+        if c < n and (not caps or c < caps[-1]):
+            caps.append(c)
+
+    first_limit = caps[0] if caps else 0
+    state = jax.lax.while_loop(
+        lambda s: n_pending(s) > first_limit, make_body(px, py, pkeys), state)
+
+    for i, cap in enumerate(caps):
+        nxt = caps[i + 1] if i + 1 < len(caps) else 0
+        pend = state["active"] | (state["sample"] < spp)
+        idx = jnp.nonzero(pend, size=cap, fill_value=n)[0].astype(jnp.int32)
+        valid = idx < n
+        gi = jnp.minimum(idx, n - 1)  # clamp fill slots for the gather
+        cstate = {k: state[k][gi] for k in state}
+        # Fill slots (idx == n) are neutralized: never active, no sample
+        # budget — their state never changes and the scatter drops them.
+        cstate["active"] = cstate["active"] & valid
+        cstate["sample"] = jnp.where(valid, cstate["sample"], spp)
+        cbody = make_body(px[gi], py[gi], pkeys[gi])
+        cstate = jax.lax.while_loop(
+            lambda s: n_pending(s) > nxt, cbody, cstate)
+        for k in state:
+            state[k] = state[k].at[idx].set(
+                cstate[k], mode="drop", unique_indices=True)
+
     return state["acc"] / jnp.float32(spp)
 
 
