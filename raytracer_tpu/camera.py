@@ -132,20 +132,22 @@ def generate_rays(
     py: jnp.ndarray,   # i32[N] pixel y (0 = bottom row, reference convention)
     width: int,
     height: int,
-    keys: jax.Array,   # per-lane key array [N] (utils/rng.py lane keys)
+    keys,              # per-lane key array [N] (utils/rng.py) OR a Sampler
 ):
     """Batched thin-lens ray generation (Core/Camera.cuh:32-44).
 
     Returns (origins f32[N,3], directions f32[N,3]); directions are NOT
     normalized, exactly like the reference (intersection math divides by a).
     """
+    smp = rngu.as_sampler(keys)
     basis = camera_basis(cam)
 
-    rd = basis["lens_radius"] * rngu.random_in_unit_disk(keys, rngu.P_RAYGEN_LENS)
-    offset = basis["right"] * rd[:, 0:1] + basis["up"] * rd[:, 1:2]
+    dx, dy = smp.lens_disk()
+    rd_x = basis["lens_radius"] * dx
+    rd_y = basis["lens_radius"] * dy
+    offset = basis["right"] * rd_x[:, None] + basis["up"] * rd_y[:, None]
 
-    ju = rngu.uniform(keys, rngu.P_RAYGEN_JITTER_U)
-    jv = rngu.uniform(keys, rngu.P_RAYGEN_JITTER_V)
+    ju, jv = smp.jitter_uv()
     u = (px.astype(jnp.float32) + ju) / float(width)
     v = (py.astype(jnp.float32) + jv) / float(height)
 

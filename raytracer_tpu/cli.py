@@ -57,7 +57,10 @@ def main(argv=None):
     ap.add_argument("--out", default="render.png")
     ap.add_argument("--npy", default=None, help="also dump linear f32 image")
     ap.add_argument("--assets", default="assets/models")
-    ap.add_argument("--integrator", choices=["wavefront", "megakernel"], default="wavefront")
+    ap.add_argument("--integrator", choices=["wavefront", "megakernel", "fused"],
+                    default="wavefront",
+                    help="'fused' = whole path loop in one Pallas kernel "
+                         "(ops/pallas_megakernel.py; requires a bvh4 scene)")
     ap.add_argument("--checkpoint", default=None,
                     help="npz accumulation checkpoint for resumable renders")
     ap.add_argument("--camera", default="showcase", choices=["showcase", "reference"],
@@ -119,6 +122,14 @@ def main(argv=None):
         from raytracer_tpu.parallel.sharding import render_image_sharded
 
         linear = render_image_sharded(scene, cam, cfg, key)
+    elif args.integrator == "fused":
+        from raytracer_tpu.models.fused import fused_available, render_image_fused
+
+        if not fused_available(scene, cfg):
+            raise SystemExit("--integrator fused needs a bvh4 scene within "
+                             "the kernel's sphere/material budgets "
+                             "(use cornell_bunny / cornell_materials)")
+        linear = render_image_fused(scene, cam, cfg.replace(rng_impl="ktf"), key)
     elif args.integrator == "wavefront":
         from raytracer_tpu.models.wavefront import render_image_wavefront
 

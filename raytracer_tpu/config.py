@@ -52,6 +52,13 @@ class RenderConfig:
     # sorting on); kept as an option for denser scenes. Only affects
     # the fused Pallas path; results identical modulo closest-hit ties.
     sort_rays: bool = False
+    # RNG implementation: "jax" (jax.random fold chains — the default
+    # and historical oracle) or "ktf" (utils/ktf.py counter-based
+    # Threefry-2x32 on plain int32 ops — the SAME function the fused
+    # Pallas megakernel runs in-kernel, so fused ≡ wavefront ≡
+    # megakernel equality holds bit-for-bit within the ktf family;
+    # across families agreement is statistical only).
+    rng_impl: str = "jax"
 
     @property
     def aspect_ratio(self) -> float:

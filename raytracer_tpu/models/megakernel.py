@@ -35,20 +35,24 @@ def trace_paths(
     scene: Scene,
     origins: jnp.ndarray,  # f32[N,3]
     dirs: jnp.ndarray,     # f32[N,3]
-    keys: jax.Array,       # per-lane (pixel,sample) key array [N]
+    keys: jax.Array,       # per-lane (pixel,sample) key array [N] (jax mode)
     cfg: RenderConfig,
+    sampler=None,          # ktf mode: utils/ktf.KtfSampler with pixel+sample set
 ) -> jnp.ndarray:
     """Path-traced radiance f32[N,3] for one sample per ray."""
     n = origins.shape[0]
 
     def bounce_body(bounce, state):
         origins, dirs, throughput, radiance, alive = state
-        kb = rngu.fold(keys, bounce)
+        if sampler is not None:
+            smp = sampler.at(bounce=bounce)
+        else:
+            smp = rngu.KeySampler(rngu.fold(keys, bounce))
 
         # Russian roulette (CUDAKernels.h:113-121).
         do_rr = bounce >= cfg.min_bounces
         survival = jnp.minimum(jnp.max(throughput, axis=-1), cfg.rr_max_prob)
-        u_rr = rngu.uniform(kb, rngu.P_RR)
+        u_rr = smp.rr_uniform()
         rr_kill = do_rr & (u_rr > survival)
         alive = alive & ~rr_kill
         rr_scale = jnp.where(do_rr & alive, 1.0 / jnp.maximum(survival, 1e-12), 1.0)
@@ -56,7 +60,7 @@ def trace_paths(
 
         ids = isect.intersect_scene(scene, origins, dirs, cfg.t_min)
         attrs = isect.shade_hit(scene, origins, dirs, ids)
-        sc = mat_ops.scatter(kb, dirs, attrs.normal, attrs.front_face, attrs.mat_id, scene.materials)
+        sc = mat_ops.scatter(smp, dirs, attrs.normal, attrs.front_face, attrs.mat_id, scene.materials)
 
         hit = ids.hit & alive
         light_hit = hit & sc.is_light

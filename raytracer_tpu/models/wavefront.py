@@ -72,7 +72,13 @@ def render_pixels_wavefront(
     del queue_size
     spp = cfg.spp if spp is None else spp
     n = px.shape[0]
-    pkeys = rngu.lane_keys(key, py * cfg.width + px)  # static per lane
+    use_ktf = cfg.rng_impl == "ktf"
+    if use_ktf:
+        from raytracer_tpu.utils import ktf
+
+        pkeys = ktf.sampler(key, py * cfg.width + px)  # pixel-keyed base
+    else:
+        pkeys = rngu.lane_keys(key, py * cfg.width + px)  # static per lane
     # Zero-gather Pallas trace+shade path (ops/intersect.trace_frame_fused)
     # when available; otherwise the generic ops path.
     use_fused = isect.fused_trace_available(scene, n)
@@ -85,8 +91,14 @@ def render_pixels_wavefront(
 
         # --- Regeneration: idle lanes with budget start their next sample.
         claim = ~active & (sample < spp)
-        skeys = rngu.fold(pkeys, sample + sample_offset)
-        kb = rngu.fold(skeys, bounce)
+        if use_ktf:
+            # Raygen purposes live at bounce=0 (claim lanes have bounce 0
+            # anyway); RR/scatter draws use the per-lane bounce.
+            skeys = pkeys.at(sample=sample + sample_offset, bounce=0)
+            kb = skeys.at(bounce=bounce)
+        else:
+            skeys = rngu.fold(pkeys, sample + sample_offset)
+            kb = rngu.fold(skeys, bounce)
         # Camera sweep only when some lane actually starts a sample:
         # once the sample budget is exhausted (every post-budget/drain
         # iteration) this skips the full raygen math, which costs more
@@ -107,7 +119,7 @@ def render_pixels_wavefront(
         # --- Russian roulette (CUDAKernels.h:113-121), per-lane bounce.
         do_rr = bounce >= cfg.min_bounces
         survival = jnp.minimum(jnp.max(throughput, axis=-1), cfg.rr_max_prob)
-        u_rr = rngu.uniform(kb, rngu.P_RR)
+        u_rr = rngu.as_sampler(kb).rr_uniform()
         rr_kill = active & do_rr & (u_rr > survival)
         survived_rr = active & ~rr_kill
         rr_scale = jnp.where(survived_rr & do_rr, 1.0 / jnp.maximum(survival, 1e-12), 1.0)
@@ -184,10 +196,15 @@ def render_pixels_wavefront(
     # position — and its acc is gathered/scattered as a running total,
     # preserving per-lane fp addition order. Kernel results are
     # per-lane independent, so packet regrouping is also exact.
-    gran = 1024 if n >= 65536 else 8  # packet-aligned on real frames
+    # Stage sizing: when the fused Pallas path is in play, stay in its
+    # valid regime — packet-aligned (1024-lane) caps floored at
+    # PACKET_MIN_RAYS so a compacted stage never runs the fused kernel
+    # on a buffer the use_fused heuristic would have rejected (ADVICE r2).
+    gran = 1024 if use_fused else 8
+    floor_cap = isect.PACKET_MIN_RAYS if use_fused else gran
     caps = []
     for div in cfg.drain_cascade:
-        c = -(-max(n // int(div), 1) // gran) * gran
+        c = max(-(-max(n // int(div), 1) // gran) * gran, floor_cap)
         if c < n and (not caps or c < caps[-1]):
             caps.append(c)
 
@@ -200,13 +217,19 @@ def render_pixels_wavefront(
         pend = state["active"] | (state["sample"] < spp)
         idx = jnp.nonzero(pend, size=cap, fill_value=n)[0].astype(jnp.int32)
         valid = idx < n
+        # Unique fill indices (n, n+1, ...): all still out-of-bounds (the
+        # mode="drop" scatter ignores them) but never duplicated —
+        # duplicate indices under unique_indices=True are documented UB
+        # (ADVICE r2).
+        idx = jnp.where(valid, idx, n + jnp.arange(cap, dtype=jnp.int32))
         gi = jnp.minimum(idx, n - 1)  # clamp fill slots for the gather
         cstate = {k: state[k][gi] for k in state}
         # Fill slots (idx == n) are neutralized: never active, no sample
         # budget — their state never changes and the scatter drops them.
         cstate["active"] = cstate["active"] & valid
         cstate["sample"] = jnp.where(valid, cstate["sample"], spp)
-        cbody = make_body(px[gi], py[gi], pkeys[gi])
+        pk_g = pkeys._replace(pixel=pkeys.pixel[gi]) if use_ktf else pkeys[gi]
+        cbody = make_body(px[gi], py[gi], pk_g)
         cstate = jax.lax.while_loop(
             lambda s: n_pending(s) > nxt, cbody, cstate)
         for k in state:

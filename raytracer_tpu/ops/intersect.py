@@ -61,6 +61,9 @@ class HitAttrs(NamedTuple):
     normal: jnp.ndarray     # f32[N,3] front-facing
     front_face: jnp.ndarray  # bool[N]
     mat_id: jnp.ndarray     # i32[N]
+    # Hit U/V (HitInfo.cuh:12-13 — dead fields in the reference, live
+    # here): triangle barycentrics / interpolated OBJ vt, sphere lat-lon.
+    uv: jnp.ndarray         # f32[N,2]
 
 
 def intersect_scene(scene: Scene, origins, dirs, t_min, t_max=BIG) -> HitIds:
@@ -155,14 +158,15 @@ def shade_hit(scene: Scene, origins, dirs, ids: HitIds) -> HitAttrs:
     t_detached = jax.lax.stop_gradient(ids.t)
     use_near = jnp.abs(t_near - t_detached) <= jnp.abs(t_far - t_detached)
     t_sph = jnp.where(use_near, t_near, t_far)
-    sp_point, sp_normal, sp_front, sp_mat = sphere_ops.sphere_shade(
+    sp_point, sp_normal, sp_front, sp_mat, sp_uv = sphere_ops.sphere_shade(
         origins, dirs, t_sph, sid, scene.spheres.center, scene.spheres.radius, scene.spheres.mat_id
     )
 
     # Triangle branch.
     tid = jnp.where(is_tri, pid, 0)
-    _, tr_point, tr_normal, tr_front, tr_mat = tri_ops.tri_shade(
-        origins, dirs, tid, scene.mesh.vertices, scene.mesh.faces, scene.mesh.face_mat
+    _, tr_point, tr_normal, tr_front, tr_mat, tr_uv = tri_ops.tri_shade(
+        origins, dirs, tid, scene.mesh.vertices, scene.mesh.faces,
+        scene.mesh.face_mat, face_uvs=scene.mesh.uvs
     )
 
     sel = is_tri[:, None]
@@ -171,6 +175,7 @@ def shade_hit(scene: Scene, origins, dirs, ids: HitIds) -> HitAttrs:
         normal=jnp.where(sel, tr_normal, sp_normal),
         front_face=jnp.where(is_tri, tr_front, sp_front),
         mat_id=jnp.where(is_tri, tr_mat, sp_mat),
+        uv=jnp.where(sel, tr_uv, sp_uv),
     )
 
 

@@ -86,7 +86,7 @@ def lookup_params(materials: Materials, mat_id: jnp.ndarray) -> MatParams:
 
 
 def scatter(
-    keys: jax.Array,        # per-lane key array [N]
+    keys,                   # per-lane key array [N] OR a Sampler
     in_dir: jnp.ndarray,    # f32[N,3] incoming ray direction (unnormalized, as in reference)
     normal: jnp.ndarray,    # f32[N,3] front-facing shading normal
     front_face: jnp.ndarray,  # bool[N]
@@ -98,20 +98,21 @@ def scatter(
 
 
 def scatter_params(
-    keys: jax.Array,
+    keys,                   # per-lane key array [N] OR a Sampler
     in_dir: jnp.ndarray,
     normal: jnp.ndarray,
     front_face: jnp.ndarray,
     params: MatParams,
 ) -> ScatterResult:
+    smp = rngu.as_sampler(keys)
     mtype = params.mtype
     albedo = params.albedo
     emission = params.emission
     roughness = params.roughness[:, None]
     ior = params.ior
 
-    unit_vec = rngu.random_unit_vector(keys, rngu.P_SCATTER_UNIT)
-    u_dielectric = rngu.uniform(keys, rngu.P_DIELECTRIC)
+    unit_vec = smp.scatter_unit_vector()
+    u_dielectric = smp.dielectric_uniform()
 
     # --- Lambertian ---
     lam_dir = normal + unit_vec

@@ -195,6 +195,34 @@ def _pack_tables_v6(bvh4: Bvh4, fmat: jnp.ndarray):
     return node_pack, tri_pack, n_leaf_rows, n_brute_rows
 
 
+def hoist_invariants(node_ref, tri_ref, brute_rows, K):
+    """PACKET-INVARIANT hoists, computed once per launch instead of once
+    per packet (the sublane-replicating concatenates and the root-box
+    reduction cost ~15 us/packet when traced inside the packet loop —
+    scripts/packet_cost_probe.py): the brute-row replicas and the
+    root-box (8,1) columns. Shared with ops/pallas_megakernel.py."""
+    brute_trows = [
+        jnp.concatenate([tri_ref[r:r + 1]] * P_SUB, axis=0)
+        for r in brute_rows]
+    row0 = jnp.concatenate([node_ref[0:1]] * P_SUB, axis=0)
+    neg = jnp.float32(-BIG)
+
+    def rcol(k, j):
+        c = k * 6 + j
+        return row0[:, c:c + 1]                      # (8,1)
+
+    root_lo = [rcol(0, j) for j in range(3)]
+    root_hi = [jnp.full((P_SUB, 1), neg) for _ in range(3)]
+    for k in range(K):
+        fin = rcol(k, 3) > neg
+        for j in range(3):
+            if k > 0:
+                root_lo[j] = jnp.minimum(root_lo[j], rcol(k, j))
+            root_hi[j] = jnp.maximum(
+                root_hi[j], jnp.where(fin, rcol(k, 3 + j), neg))
+    return brute_trows, root_lo, root_hi
+
+
 def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
                  brute_rows: tuple, max_iters: int, n_children: int = 4):
     def kernel(node_ref, tri_ref, o_ref, d_ref, tlim_ref,
@@ -202,31 +230,9 @@ def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
                nx_out_ref, ny_out_ref, nz_out_ref):
         def body_scoped(ntask_ref, sp_ref, ltask_ref, lsp_ref,
                         stack_ref, lstack_ref):
-            # PACKET-INVARIANT hoists, computed once per launch instead
-            # of once per packet (the sublane-replicating concatenates
-            # and the root-box reduction cost ~15 us/packet when traced
-            # inside the packet loop — scripts/packet_cost_probe.py):
-            # the brute-row replicas and the root-box (8,1) columns.
             K = n_children
-            brute_trows = [
-                jnp.concatenate([tri_ref[r:r + 1]] * P_SUB, axis=0)
-                for r in brute_rows]
-            row0 = jnp.concatenate([node_ref[0:1]] * P_SUB, axis=0)
-            neg = jnp.float32(-BIG)
-
-            def rcol(k, j):
-                c = k * 6 + j
-                return row0[:, c:c + 1]                      # (8,1)
-
-            root_lo = [rcol(0, j) for j in range(3)]
-            root_hi = [jnp.full((P_SUB, 1), neg) for _ in range(3)]
-            for k in range(K):
-                fin = rcol(k, 3) > neg
-                for j in range(3):
-                    if k > 0:
-                        root_lo[j] = jnp.minimum(root_lo[j], rcol(k, j))
-                    root_hi[j] = jnp.maximum(
-                        root_hi[j], jnp.where(fin, rcol(k, 3 + j), neg))
+            brute_trows, root_lo, root_hi = hoist_invariants(
+                node_ref, tri_ref, brute_rows, K)
 
             def per_packet(p, _):
                 _kernel_body(t_min, stack_cap, zero_row, max_iters,
@@ -251,46 +257,23 @@ def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
     return kernel
 
 
-def _kernel_body(t_min, stack_cap, zero_row, max_iters,
-                 n_children, brute_trows, root_lo, root_hi, p,
-                 node_ref, tri_ref, o_ref, d_ref, tlim_ref,
-                 t_out_ref, id_out_ref, mat_out_ref,
-                 nx_out_ref, ny_out_ref, nz_out_ref,
-                 ntask_ref, sp_ref, ltask_ref, lsp_ref,
-                 stack_ref, lstack_ref):
-    """DUAL-UNIT SUB-WARP traversal (v6): the 8 sublane rows of the
-    (8,128) packet are independent 128-ray sub-warps (chains); each
-    iteration advances every chain by ONE internal-node expansion (from
-    an internal-only SMEM stack) AND ONE leaf-row Möller–Trumbore sweep
-    (from a separate leaf-row SMEM stack), both straight-line (no
-    lax.cond). In v5 a leaf visit burned a whole iteration whose slab
-    phase was garbage; with split work units, iterations per bounce
-    sweep drop 64 → ~45 on interior bounce rays at the same chain-visit
-    count (scripts/dual_unit_study.py).
-
-    Cost model (calibrated by scripts/kernel_floor_probe.py and the
-    scalar-op analysis in ROADMAP): Mosaic scalar ops are ~1 ns each
-    and vreg→scalar extracts ~3 ns; the iteration cost IS the scalar op
-    count. Hence (a) the node table is ROW-PER-NODE (task == row id, no
-    //4 %4 or select chain), and (b) child ordering — hit masks, entry
-    keys, and the kind-split sort4 networks — runs on (8,4) VECTOR
-    tiles for all 8 chains at once; the scalar phase only extracts the
-    sorted codes it actually pushes.
-
-    The leaf stack is bounded by a STALL guard: if it nears capacity,
-    the internal unit re-schedules its current node (recomputed next
-    iteration) while the leaf unit drains — a sound bound without a
-    growable queue. Sub-warps with no leaf pending read the dedicated
-    all-zero triangle row (degenerate records self-reject)."""
-    o_pk = o_ref[pl.ds(p, 1)][0]                                 # (3,8,128)
-    d_pk = d_ref[pl.ds(p, 1)][0]
-    ox, oy, oz = o_pk[0], o_pk[1], o_pk[2]                       # (8,128)
-    dx, dy, dz = d_pk[0], d_pk[1], d_pk[2]
+def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
+                  brute_trows, root_lo, root_hi,
+                  node_ref, tri_ref,
+                  ox, oy, oz, dx, dy, dz, t_lim,
+                  ntask_ref, sp_ref, ltask_ref, lsp_ref,
+                  stack_ref, lstack_ref):
+    """Full scene trace of ONE (8,128) ray tile: brute pre-pass + v6
+    dual-unit sub-warp BVH traversal (see _kernel_body docstring for the
+    design). Inputs ox..dz/t_lim are (8,128) tiles already in vregs;
+    returns (t_best, best_prim, mat_id, nx, ny, nz) tiles. Shared by the
+    per-bounce traversal kernel (_make_kernel) and the fused
+    path-loop megakernel (ops/pallas_megakernel.py)."""
     ix = 1.0 / dx
     iy = 1.0 / dy
     iz = 1.0 / dz
 
-    t_best0 = tlim_ref[pl.ds(p, 1)][0]                           # (8,128)
+    t_best0 = t_lim
     best0 = jnp.full((P_SUB, P_LANE), NONE, jnp.int32)
     mat0 = jnp.zeros((P_SUB, P_LANE), jnp.int32)
     n0 = jnp.zeros((P_SUB, P_LANE), jnp.float32)
@@ -342,7 +325,7 @@ def _kernel_body(t_min, stack_cap, zero_row, max_iters,
         return t_best, best, mat, nx, ny, nz
 
     # Brute-force pre-pass (two-level split): sweep the large triangles
-    # from the packet-invariant replicated rows (hoisted in _make_kernel),
+    # from the packet-invariant replicated rows (hoisted by the caller),
     # priming t_best — after the split the root box only covers the
     # dense mesh, so most packets never enter the tree.
     state0 = (t_best0, best0, mat0, n0, n0, n0)
@@ -438,8 +421,8 @@ def _kernel_body(t_min, stack_cap, zero_row, max_iters,
         # slots carry (+inf,-inf) boxes, which the UNORDERED slab reads
         # as tmin=-inf → "hit"; gate with the child ids.
         anyk_cols = []
-        for p in packs:
-            anyk_cols.extend([p & 0xFFFF, p >> 16])
+        for p2 in packs:
+            anyk_cols.extend([p2 & 0xFFFF, p2 >> 16])
         anyk = jnp.concatenate(anyk_cols, axis=1) > 0
         valid = anyk & (ch8 != NONE)                             # (8,K)
         rep4 = jnp.concatenate(reps, axis=1)                     # (8,K)
@@ -529,6 +512,55 @@ def _kernel_body(t_min, stack_cap, zero_row, max_iters,
         cond, body,
         (jnp.int32(max_iters), n_alive0, t_best0, best0, mat0, n0x, n0y, n0z)
     )
+    return t_best, best, mat, nx, ny, nz
+
+
+def _kernel_body(t_min, stack_cap, zero_row, max_iters,
+                 n_children, brute_trows, root_lo, root_hi, p,
+                 node_ref, tri_ref, o_ref, d_ref, tlim_ref,
+                 t_out_ref, id_out_ref, mat_out_ref,
+                 nx_out_ref, ny_out_ref, nz_out_ref,
+                 ntask_ref, sp_ref, ltask_ref, lsp_ref,
+                 stack_ref, lstack_ref):
+    """DUAL-UNIT SUB-WARP traversal (v6): the 8 sublane rows of the
+    (8,128) packet are independent 128-ray sub-warps (chains); each
+    iteration advances every chain by ONE internal-node expansion (from
+    an internal-only SMEM stack) AND ONE leaf-row Möller–Trumbore sweep
+    (from a separate leaf-row SMEM stack), both straight-line (no
+    lax.cond). In v5 a leaf visit burned a whole iteration whose slab
+    phase was garbage; with split work units, iterations per bounce
+    sweep drop 64 → ~45 on interior bounce rays at the same chain-visit
+    count (scripts/dual_unit_study.py).
+
+    Cost model (calibrated by scripts/kernel_floor_probe.py and the
+    scalar-op analysis in ROADMAP): Mosaic scalar ops are ~1 ns each
+    and vreg→scalar extracts ~3 ns; the iteration cost IS the scalar op
+    count. Hence (a) the node table is ROW-PER-NODE (task == row id, no
+    //4 %4 or select chain), and (b) child ordering — hit masks, entry
+    keys, and the kind-split sort4 networks — runs on (8,4) VECTOR
+    tiles for all 8 chains at once; the scalar phase only extracts the
+    sorted codes it actually pushes.
+
+    The leaf stack is bounded by a STALL guard: if it nears capacity,
+    the internal unit re-schedules its current node (recomputed next
+    iteration) while the leaf unit drains — a sound bound without a
+    growable queue. Sub-warps with no leaf pending read the dedicated
+    all-zero triangle row (degenerate records self-reject).
+
+    (The traversal itself lives in `traverse_tile` above, shared with
+    the fused path-loop megakernel; this wrapper just loads the packet's
+    ray tiles and stores the result tiles.)"""
+    o_pk = o_ref[pl.ds(p, 1)][0]                                 # (3,8,128)
+    d_pk = d_ref[pl.ds(p, 1)][0]
+    ox, oy, oz = o_pk[0], o_pk[1], o_pk[2]                       # (8,128)
+    dx, dy, dz = d_pk[0], d_pk[1], d_pk[2]
+    t_lim = tlim_ref[pl.ds(p, 1)][0]                             # (8,128)
+
+    t_best, best, mat, nx, ny, nz = traverse_tile(
+        t_min, stack_cap, zero_row, max_iters, n_children,
+        brute_trows, root_lo, root_hi, node_ref, tri_ref,
+        ox, oy, oz, dx, dy, dz, t_lim,
+        ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref, lstack_ref)
     t_out_ref[pl.ds(p, 1)] = t_best[None]
     id_out_ref[pl.ds(p, 1)] = best[None]
     mat_out_ref[pl.ds(p, 1)] = mat[None]

@@ -59,8 +59,12 @@ def sphere_shade(origins, dirs, t, sphere_id, centers, radii, mat_ids):
 
     Recomputes point and outward normal from the (detached) hit ids so
     gradients flow to sphere params; normal is flipped to face the ray
-    (HitInfo::setFaceNormal, Core/HitInfo.cuh:15-18).
-    Returns (point f32[N,3], normal f32[N,3], front_face bool[N], mat i32[N]).
+    (HitInfo::setFaceNormal, Core/HitInfo.cuh:15-18). The hit UV is the
+    standard sphere latitude/longitude parameterization (the reference's
+    HitInfo U/V fields are declared but never written — Texture.cuh is
+    dead; this fills them the conventional way for the texture hook).
+    Returns (point f32[N,3], normal f32[N,3], front_face bool[N],
+    mat i32[N], uv f32[N,2]).
     """
     center = centers[sphere_id]
     # Guard against the zero-radius sentinel sphere: its lanes are masked
@@ -70,4 +74,8 @@ def sphere_shade(origins, dirs, t, sphere_id, centers, radii, mat_ids):
     outward = (point - center) / radius[:, None]
     front = vm.dot(dirs, outward, keepdims=False) < 0.0
     normal = jnp.where(front[:, None], outward, -outward)
-    return point, normal, front, mat_ids[sphere_id]
+    ox, oy, oz = outward[:, 0], outward[:, 1], outward[:, 2]
+    theta = jnp.arccos(jnp.clip(-oy, -1.0, 1.0))
+    phi = jnp.arctan2(-oz, ox) + jnp.pi
+    uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
+    return point, normal, front, mat_ids[sphere_id], uv

@@ -88,14 +88,20 @@ def intersect_tri_single(origins, dirs, v0, e1, e2, t_min, t_max):
     return ok, jnp.where(ok, t, BIG)
 
 
-def tri_shade(origins, dirs, tri_id, vertices, faces, face_mat):
+def tri_shade(origins, dirs, tri_id, vertices, faces, face_mat, face_uvs=None):
     """Differentiable hit attributes for chosen triangles.
 
     Recomputes t from the (detached) triangle id via the same
     Möller–Trumbore algebra so gradients flow to `vertices`; returns the
-    reference's geometric front-facing normal (Core/Mesh.cuh:303-305).
+    reference's geometric front-facing normal (Core/Mesh.cuh:303-305)
+    and the barycentric hit coordinate (the reference's HitInfo carries
+    U_TexCoord/V_TexCoord fields, Core/HitInfo.cuh:12-13 — declared but
+    never written since Texture.cuh is dead code; here they're live:
+    barycentric (u,v) by default, interpolated per-corner OBJ vt when
+    `face_uvs` f32[T,3,2] is provided — the texture-hook extension).
 
-    Returns (t f32[N], point f32[N,3], normal f32[N,3], front bool[N], mat i32[N]).
+    Returns (t f32[N], point f32[N,3], normal f32[N,3], front bool[N],
+    mat i32[N], uv f32[N,2]).
     """
     f3 = faces[tri_id]
     v0 = vertices[f3[:, 0]]
@@ -106,11 +112,18 @@ def tri_shade(origins, dirs, tri_id, vertices, faces, face_mat):
     a = jnp.sum(e1 * h, axis=-1)
     f = 1.0 / jnp.where(jnp.abs(a) >= EPSILON, a, 1.0)
     s = origins - v0
+    u = f * jnp.sum(s * h, axis=-1)
     q = jnp.cross(s, e1)
+    v = f * jnp.sum(dirs * q, axis=-1)
     t = f * jnp.sum(e2 * q, axis=-1)
 
     point = origins + t[:, None] * dirs
     geom_n = vm.normalize(jnp.cross(e1, e2), eps=1e-20)
     front = vm.dot(dirs, geom_n, keepdims=False) < 0.0
     normal = jnp.where(front[:, None], geom_n, -geom_n)
-    return t, point, normal, front, face_mat[tri_id]
+    if face_uvs is None:
+        uv = jnp.stack([u, v], axis=-1)
+    else:
+        c = face_uvs[tri_id]  # [N,3,2] per-corner vt
+        uv = (1.0 - u - v)[:, None] * c[:, 0] + u[:, None] * c[:, 1] + v[:, None] * c[:, 2]
+    return t, point, normal, front, face_mat[tri_id], uv

@@ -72,6 +72,12 @@ def scaling_report(scene, cam, cfg, key, device_counts=None) -> dict:
     results = {}
     all_devices = jax.devices()
     counts = device_counts or sorted({1, 2, 4, 8, len(all_devices)})
+    # Efficiency is ALWAYS normalized to the 1-device row: baselining at
+    # the smallest *measured* count would silently hide 1→2 chip loss if
+    # a caller starts the list at 2 (VERDICT r2). Measure 1 device even
+    # when the caller didn't ask for it.
+    if 1 not in counts:
+        counts = [1] + list(counts)
     for c in counts:
         if c > len(all_devices):
             continue
@@ -84,9 +90,9 @@ def scaling_report(scene, cam, cfg, key, device_counts=None) -> dict:
         dt = time.perf_counter() - t0
         rays = cfg.width * cfg.height * cfg.spp
         results[c] = {"seconds": dt, "rays_per_sec": rays / dt}
-    # Efficiency = per-device throughput relative to the smallest measured
-    # device count (perfect linear scaling ⇒ 1.0 at every count).
-    base_count = min(results)
+    # Efficiency = per-device throughput relative to the 1-device run
+    # (perfect linear scaling ⇒ 1.0 at every count).
+    base_count = 1
     base_per_dev = results[base_count]["rays_per_sec"] / base_count
     for c, row in results.items():
         row["efficiency"] = (row["rays_per_sec"] / c) / base_per_dev

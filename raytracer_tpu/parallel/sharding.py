@@ -134,6 +134,94 @@ def render_image_wavefront_sharded(
     return rgb[inv].reshape(cfg.height, cfg.width, 3)
 
 
+SPP_AXIS = "spp"
+
+
+def make_mesh_2d(n_ray_shards: int, n_spp_shards: int, devices=None) -> Mesh:
+    """2D (rays × spp) mesh: pixels shard over `rays`, the sample budget
+    splits over `spp` (SURVEY §2.2 'sample parallelism' — the parallel
+    form of the reference's serial per-thread spp loop,
+    CUDAKernels.h:158-162)."""
+    import numpy as np
+
+    devices = jax.devices() if devices is None else devices
+    need = n_ray_shards * n_spp_shards
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:need]).reshape(n_ray_shards, n_spp_shards),
+                (RAY_AXIS, SPP_AXIS))
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "spp", "integrator"))
+def _render_sharded_2d(scene, cam, px, py, cfg, key, mesh, spp, integrator):
+    n_spp_shards = mesh.shape[SPP_AXIS]
+    shard_spp = spp // n_spp_shards
+
+    def local_render(scene, cam, px, py, key):
+        # Each spp-shard renders its own contiguous sample window —
+        # RNG is (pixel, sample)-keyed, so window j draws exactly the
+        # samples [j*shard_spp, (j+1)*shard_spp) of the single-device
+        # pass — and the mean rides an ICI psum (the only collective).
+        j = jax.lax.axis_index(SPP_AXIS)
+        offset = (j * shard_spp).astype(jnp.int32)
+        if integrator == "wavefront":
+            from raytracer_tpu.models.wavefront import render_pixels_wavefront
+
+            rgb = render_pixels_wavefront(scene, cam, px, py, cfg, key,
+                                          spp=shard_spp, sample_offset=offset)
+        else:
+            rgb = render_pixels(scene, cam, px, py, cfg, key,
+                                spp=shard_spp, sample_offset=offset)
+        return jax.lax.pmean(rgb, SPP_AXIS)
+
+    return shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )(scene, cam, px, py, key)
+
+
+def render_image_sharded_2d(
+    scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    key: jax.Array,
+    mesh: Mesh,
+    spp: int | None = None,
+    integrator: str = "megakernel",
+) -> jnp.ndarray:
+    """Full-image render over a 2D (rays × spp) mesh: pixel blocks shard
+    over the `rays` axis, the sample budget splits into contiguous
+    windows over the `spp` axis, and the per-window means are pmean'd.
+    Equal to the 1D-sharded and single-device renders up to fp summation
+    order (same per-(pixel,sample) draws; tests/test_sharding.py).
+
+    `spp` must divide evenly by the spp-axis size (SPMD shards run one
+    static program; pad the sample budget if needed)."""
+    spp = cfg.spp if spp is None else spp
+    n_spp_shards = mesh.shape[SPP_AXIS]
+    if spp % n_spp_shards:
+        raise ValueError(f"spp={spp} not divisible by spp-axis size {n_spp_shards}")
+    n_ray_shards = mesh.shape[RAY_AXIS]
+    if integrator == "wavefront":
+        from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+
+        px, py, inv = _tiled_pixel_grid(cfg)
+        if px.shape[0] % n_ray_shards:
+            raise ValueError(
+                f"tile-lane count {px.shape[0]} not divisible by ray-axis "
+                f"size {n_ray_shards}")
+        rgb = _render_sharded_2d(scene, cam, px, py, cfg, key, mesh, spp,
+                                 "wavefront")
+        return rgb[inv].reshape(cfg.height, cfg.width, 3)
+    px, py, n = _padded_pixel_grid(cfg, n_ray_shards)
+    rgb = _render_sharded_2d(scene, cam, px, py, cfg, key, mesh, spp,
+                             "megakernel")
+    return rgb[:n].reshape(cfg.height, cfg.width, 3)
+
+
 def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
     """Place scene params replicated on every device (the analog of the
     reference's scene upload; here it is an explicit sharding)."""

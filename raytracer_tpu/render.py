@@ -43,14 +43,26 @@ def render_pixels(
     n = px.shape[0]
     # Pixel-identity keys: randomness is a pure function of
     # (base key, global pixel id, sample, bounce, purpose) — invariant to
-    # chunking and sharding (utils/rng.py).
+    # chunking and sharding (utils/rng.py; same property in ktf mode via
+    # the explicit (pixel, sample, bounce, purpose) counter, utils/ktf.py).
     pixel_ids = py * cfg.width + px
-    pkeys = rngu.lane_keys(key, pixel_ids)
+    if cfg.rng_impl == "ktf":
+        from raytracer_tpu.utils import ktf
 
-    def sample_body(s, acc):
-        skeys = rngu.fold(pkeys, s + sample_offset)
-        origins, dirs = generate_rays(cam, px, py, cfg.width, cfg.height, skeys)
-        return acc + megakernel.trace_paths(scene, origins, dirs, skeys, cfg)
+        base = ktf.sampler(key, pixel_ids)
+
+        def sample_body(s, acc):
+            smp = base.at(sample=s + sample_offset, bounce=0)
+            origins, dirs = generate_rays(cam, px, py, cfg.width, cfg.height, smp)
+            return acc + megakernel.trace_paths(scene, origins, dirs, None, cfg,
+                                                sampler=smp)
+    else:
+        pkeys = rngu.lane_keys(key, pixel_ids)
+
+        def sample_body(s, acc):
+            skeys = rngu.fold(pkeys, s + sample_offset)
+            origins, dirs = generate_rays(cam, px, py, cfg.width, cfg.height, skeys)
+            return acc + megakernel.trace_paths(scene, origins, dirs, skeys, cfg)
 
     acc = jax.lax.fori_loop(0, spp, sample_body, jnp.zeros((n, 3), jnp.float32))
     return acc / jnp.float32(spp)

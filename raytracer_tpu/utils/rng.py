@@ -80,3 +80,46 @@ def random_in_unit_disk(keys: jax.Array, purpose: int) -> jnp.ndarray:
     r = jnp.sqrt(u[:, 0])
     theta = 2.0 * jnp.pi * u[:, 1]
     return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), jnp.zeros_like(r)], axis=-1)
+
+
+# --- Sampler protocol -------------------------------------------------
+# Draw-site-level abstraction shared by the two RNG impls: the default
+# jax.random path (this class — results identical to the historical
+# fold-chain code) and the kernel-portable counter-based path
+# (utils/ktf.KtfSampler, used verbatim inside the fused Pallas
+# megakernel). Integrators construct one per bounce and pass it to
+# camera.generate_rays / materials.scatter_params.
+
+from typing import NamedTuple  # noqa: E402
+
+
+class KeySampler(NamedTuple):
+    """jax.random-backed sampler over already-(pixel,sample,bounce)-folded
+    per-lane keys. Draw-for-draw identical to the pre-sampler code."""
+
+    keys: jax.Array  # [N] folded key array
+
+    def jitter_uv(self, keys=None):
+        k = self.keys if keys is None else keys
+        return uniform(k, P_RAYGEN_JITTER_U), uniform(k, P_RAYGEN_JITTER_V)
+
+    def lens_disk(self):
+        d = random_in_unit_disk(self.keys, P_RAYGEN_LENS)
+        return d[..., 0], d[..., 1]
+
+    def rr_uniform(self):
+        return uniform(self.keys, P_RR)
+
+    def scatter_unit_vector(self):
+        return random_unit_vector(self.keys, P_SCATTER_UNIT)
+
+    def dielectric_uniform(self):
+        return uniform(self.keys, P_DIELECTRIC)
+
+
+def as_sampler(keys_or_sampler):
+    """Back-compat shim: raw folded key arrays become a KeySampler;
+    sampler objects (KeySampler / ktf.KtfSampler) pass through."""
+    if hasattr(keys_or_sampler, "rr_uniform"):
+        return keys_or_sampler
+    return KeySampler(keys_or_sampler)

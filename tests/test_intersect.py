@@ -87,3 +87,60 @@ def test_scene_sphere_behind_triangle():
     ids = intersect_scene(scene, o, d, 1e-3)
     assert ids.prim_type[0] == PRIM_SPHERE
     np.testing.assert_allclose(ids.t[0], 0.5, rtol=1e-5)
+
+
+def test_hit_uv_triangle_barycentric():
+    """shade_hit returns the Möller–Trumbore barycentric (u,v) of the hit
+    (HitInfo.cuh:12-13 analog): u along v0→v1, v along v0→v2."""
+    verts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    mesh = TriMesh.from_arrays(verts, faces, [0])
+    scene = Scene(
+        materials=Materials.from_lists([0], [[0.5, 0.5, 0.5]]),
+        spheres=Spheres.empty(),
+        mesh=mesh,
+    )
+    # Aim at barycentric (u,v) = (0.25, 0.5) from z = +1, straight down.
+    o = jnp.asarray([[0.25, 0.5, 1.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    ids = intersect_scene(scene, o, d, 1e-3)
+    assert bool(ids.hit[0]) and int(ids.prim_type[0]) == PRIM_TRI
+    attrs = shade_hit(scene, o, d, ids)
+    np.testing.assert_allclose(np.asarray(attrs.uv[0]), [0.25, 0.5], atol=1e-6)
+
+
+def test_hit_uv_interpolated_from_obj_vt():
+    """With per-corner vt present, uv is the barycentric interpolation of
+    the corner uvs (texture-hook extension)."""
+    verts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    corner_uv = [[[0.0, 0.0], [2.0, 0.0], [0.0, 4.0]]]  # vt per corner
+    mesh = TriMesh.from_arrays(verts, faces, [0], uvs=corner_uv)
+    scene = Scene(
+        materials=Materials.from_lists([0], [[0.5, 0.5, 0.5]]),
+        spheres=Spheres.empty(),
+        mesh=mesh,
+    )
+    o = jnp.asarray([[0.25, 0.5, 1.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    ids = intersect_scene(scene, o, d, 1e-3)
+    attrs = shade_hit(scene, o, d, ids)
+    # (1-u-v)*c0 + u*c1 + v*c2 = 0.25*[2,0] + 0.5*[0,4] = [0.5, 2.0]
+    np.testing.assert_allclose(np.asarray(attrs.uv[0]), [0.5, 2.0], atol=1e-6)
+
+
+def test_hit_uv_sphere_latlon():
+    """Sphere hit UV is the standard latitude/longitude parameterization."""
+    scene = Scene(
+        materials=Materials.from_lists([0], [[0.5, 0.5, 0.5]]),
+        spheres=Spheres.from_lists([[0.0, 0.0, 0.0]], [1.0], [0]),
+        mesh=TriMesh.empty(),
+    )
+    # Hit the sphere's +x pole from outside: outward normal (1,0,0)
+    # → phi = atan2(0, 1) + pi = pi → u = 0.5; theta = acos(0) → v = 0.5.
+    o = jnp.asarray([[2.0, 0.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+    ids = intersect_scene(scene, o, d, 1e-3)
+    assert bool(ids.hit[0]) and int(ids.prim_type[0]) == PRIM_SPHERE
+    attrs = shade_hit(scene, o, d, ids)
+    np.testing.assert_allclose(np.asarray(attrs.uv[0]), [0.5, 0.5], atol=1e-6)

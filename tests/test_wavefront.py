@@ -56,6 +56,36 @@ def test_spp_batched_render_matches_single_pass(scene):
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
 
 
+def test_drain_cascade_bit_exact(scene):
+    """The drain-tail compaction cascade must be BIT-identical to the
+    uncompacted (drain_cascade=()) integrator — the invariant the
+    config.py comment claims (ADVICE r2): draws depend only on
+    (pixel, sample, bounce) and per-lane fp accumulation order is
+    preserved through the pack/unpack."""
+    base = RenderConfig(width=24, height=12, spp=8, max_bounces=8)
+    key = jax.random.key(17)
+    with_cascade = np.asarray(render_image_wavefront(scene, _cam(base), base, key))
+    plain = np.asarray(render_image_wavefront(
+        scene, _cam(base), base.replace(drain_cascade=()), key))
+    np.testing.assert_array_equal(with_cascade, plain)
+
+
+def test_drain_cascade_bit_exact_sharded(scene):
+    """Same invariant under shard_map (each shard runs its own cascade
+    over its lane block)."""
+    from raytracer_tpu.parallel.sharding import (make_mesh,
+                                                 render_image_wavefront_sharded)
+
+    base = RenderConfig(width=24, height=12, spp=4, max_bounces=6)
+    key = jax.random.key(19)
+    mesh = make_mesh()
+    a = np.asarray(render_image_wavefront_sharded(scene, _cam(base), base, key,
+                                                  mesh=mesh))
+    b = np.asarray(render_image_wavefront_sharded(
+        scene, _cam(base), base.replace(drain_cascade=()), key, mesh=mesh))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_tiled_grid_covers_every_pixel():
     from raytracer_tpu.models.wavefront import _tiled_pixel_grid
 
