@@ -173,18 +173,22 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
             zero = jnp.zeros((P_SUB, P_LANE), jnp.float32)
             one = jnp.ones((P_SUB, P_LANE), jnp.float32)
             i0 = jnp.zeros((P_SUB, P_LANE), jnp.int32)
-            f_ = jnp.zeros((P_SUB, P_LANE), bool)
 
+            # The `active` mask is carried as int32 0/1 — Mosaic cannot
+            # legalize a vector<8x128xi1> while_loop carry (scf.yield
+            # legalization failure on the 2026-08 backend).
             def cond(carry):
                 iters = carry[0]
                 sample = carry[13]
-                active = carry[15]
-                pending = jnp.sum((active | (sample < spp)).astype(jnp.int32))
+                active_i = carry[15]
+                pending = jnp.sum(jnp.maximum(
+                    active_i, (sample < spp).astype(jnp.int32)))
                 return (iters > 0) & (pending > 0)
 
             def body(carry):
                 (iters, ox, oy, oz, dx, dy, dz, tx, ty, tz,
-                 ax, ay, az, sample, bounce_st, active) = carry
+                 ax, ay, az, sample, bounce_st, active_i) = carry
+                active = active_i != 0
 
                 bounce = jnp.where(active, bounce_st, 0)
                 claim = ~active & (sample < spp)
@@ -439,13 +443,14 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                 bounce_st = jnp.where(cont, bounce + 1, bounce)
 
                 return (iters - 1, ox, oy, oz, dx, dy, dz, tx, ty, tz,
-                        ax, ay, az, sample, bounce_st, cont)
+                        ax, ay, az, sample, bounce_st,
+                        cont.astype(jnp.int32))
 
             init = (jnp.int32(path_iters),
                     zero, zero, zero, one, one, one,   # o, d
                     one, one, one,                      # throughput
                     zero, zero, zero,                   # acc
-                    i0, i0, f_)                         # sample, bounce, active
+                    i0, i0, i0)                         # sample, bounce, active
             out = jax.lax.while_loop(cond, body, init)
             ax_ref[pl.ds(p, 1)] = out[10][None]
             ay_ref[pl.ds(p, 1)] = out[11][None]
