@@ -123,7 +123,8 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
     def kernel(sc_ref, node_ref, tri_ref, pix_ref, pxf_ref, pyf_ref,
                cam_ref, sph_ref, mat_ref,
                ax_ref, ay_ref, az_ref,
-               ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref, lstack_ref):
+               ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref, lstack_ref,
+               ispare_ref, lspare_ref, ltaskB_ref):
         K = n_children
         brute_trows, root_lo, root_hi = hoist_invariants(
             node_ref, tri_ref, brute_rows, K)
@@ -280,7 +281,8 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                     brute_trows, root_lo, root_hi, node_ref, tri_ref,
                     ox, oy, oz, dx, dy, dz, t_lim,
                     ntask_ref, sp_ref, ltask_ref, lsp_ref,
-                    stack_ref, lstack_ref)
+                    stack_ref, lstack_ref, ispare_ref, lspare_ref,
+                    ltaskB_ref)
 
                 tri_wins = t_tri < t_sph
                 t_hit = jnp.where(tri_wins, t_tri, t_sph)
@@ -461,10 +463,12 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
 
     def kernel_scoped(sc_ref, node_ref, tri_ref, pix_ref, pxf_ref, pyf_ref,
                       cam_ref, sph_ref, mat_ref, ax_ref, ay_ref, az_ref):
-        def scoped(ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref, lstack_ref):
+        def scoped(ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref,
+                   lstack_ref, ispare_ref, lspare_ref, ltaskB_ref):
             kernel(sc_ref, node_ref, tri_ref, pix_ref, pxf_ref, pyf_ref,
                    cam_ref, sph_ref, mat_ref, ax_ref, ay_ref, az_ref,
-                   ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref, lstack_ref)
+                   ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref,
+                   lstack_ref, ispare_ref, lspare_ref, ltaskB_ref)
 
         pl.run_scoped(scoped,
                       pltpu.SMEM((P_SUB,), jnp.int32),
@@ -472,7 +476,10 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                       pltpu.SMEM((P_SUB,), jnp.int32),
                       pltpu.SMEM((P_SUB,), jnp.int32),
                       pltpu.SMEM((P_SUB * stack_cap,), jnp.int32),
-                      pltpu.SMEM((P_SUB * stack_cap,), jnp.int32))
+                      pltpu.SMEM((P_SUB * stack_cap,), jnp.int32),
+                      pltpu.SMEM((P_SUB,), jnp.int32),
+                      pltpu.SMEM((P_SUB,), jnp.int32),
+                      pltpu.SMEM((P_SUB,), jnp.int32))
 
     return kernel_scoped
 

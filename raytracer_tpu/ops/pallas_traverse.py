@@ -66,7 +66,20 @@ HALF_BIG = np.float32(1.5e38)  # orders rep-miss (but visited) children last
 P_SUB, P_LANE = 8, 128
 PACKET = P_SUB * P_LANE  # 1024 rays per packet
 NONE = np.int32(-1)
+# Pair-packed stack encoding: two 16-bit codes per 32-bit entry
+# (node-row and tri-row ids are asserted < 2^16 at pack time).
+EMPTY16 = np.int32(0xFFFF)       # "no code" half-sentinel
+SPARE_NONE = np.int32(-1)        # both halves empty
+SPARE_HIGH = np.int32(-65536)    # 0xFFFF0000: empty high half
 STACK_CAP = 256  # SMEM entries (1 KB); build asserts stack_depth <= this
+# Skip the leaf-unit block (8 row loads + 8 MT sweeps) on iterations
+# where every chain's leaf queue is idle. Output-invariant; A/B toggle.
+import os as _os
+
+LEAF_COND = _os.environ.get("RAYTRACER_TPU_LEAF_COND", "1") != "0"
+# Tri-row sweeps per iteration (1 or 2). 2 cuts lockstep iterations 18%
+# but measures slower on-chip (see traverse_tile); default 1.
+LEAF_ROWS = int(_os.environ.get("RAYTRACER_TPU_LEAF_ROWS", "1"))
 # Packets per kernel launch (bounds the launch's ray/output VMEM).
 MAX_PACKETS_PER_CALL = 512  # bounds ray/output VMEM alongside the tables
 NODE_STRIDE = 32  # lanes per node record (4 per row)
@@ -166,6 +179,9 @@ def _pack_tables_v6(bvh4: Bvh4, fmat: jnp.ndarray):
         "float-encoded table ids exceed exact-f32 range")
     assert t % 8 == 0, "Bvh4 triangle table must be leaf-row aligned"
     assert 7 * K <= 128, "node record must fit one 128-lane row"
+    # Pair-packed stacks hold two 16-bit ids per entry.
+    assert n4 < 0xFFFF and t // 8 < 0xFFFF, (
+        "node/tri-row ids exceed the pair-packed 16-bit stack encoding")
 
     ch = bvh4.children
     ch = jnp.where(ch <= -2, -(2 + (-ch - 2) // 64), ch)  # leaf → tri row
@@ -229,7 +245,8 @@ def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
                t_out_ref, id_out_ref, mat_out_ref,
                nx_out_ref, ny_out_ref, nz_out_ref):
         def body_scoped(ntask_ref, sp_ref, ltask_ref, lsp_ref,
-                        stack_ref, lstack_ref):
+                        stack_ref, lstack_ref, ispare_ref, lspare_ref,
+                        ltaskB_ref):
             K = n_children
             brute_trows, root_lo, root_hi = hoist_invariants(
                 node_ref, tri_ref, brute_rows, K)
@@ -241,7 +258,8 @@ def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
                              t_out_ref, id_out_ref, mat_out_ref,
                              nx_out_ref, ny_out_ref, nz_out_ref,
                              ntask_ref, sp_ref, ltask_ref, lsp_ref,
-                             stack_ref, lstack_ref)
+                             stack_ref, lstack_ref, ispare_ref,
+                             lspare_ref, ltaskB_ref)
                 return 0
 
             jax.lax.fori_loop(0, n_packets, per_packet, 0)
@@ -252,7 +270,10 @@ def _make_kernel(t_min: float, n_packets: int, stack_cap: int, zero_row: int,
                       pltpu.SMEM((P_SUB,), jnp.int32),
                       pltpu.SMEM((P_SUB,), jnp.int32),
                       pltpu.SMEM((P_SUB * stack_cap,), jnp.int32),
-                      pltpu.SMEM((P_SUB * stack_cap,), jnp.int32))
+                      pltpu.SMEM((P_SUB * stack_cap,), jnp.int32),
+                      pltpu.SMEM((P_SUB,), jnp.int32),
+                      pltpu.SMEM((P_SUB,), jnp.int32),
+                      pltpu.SMEM((P_SUB,), jnp.int32))
 
     return kernel
 
@@ -262,7 +283,8 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
                   node_ref, tri_ref,
                   ox, oy, oz, dx, dy, dz, t_lim,
                   ntask_ref, sp_ref, ltask_ref, lsp_ref,
-                  stack_ref, lstack_ref):
+                  stack_ref, lstack_ref, ispare_ref, lspare_ref,
+                  ltaskB_ref):
     """Full scene trace of ONE (8,128) ray tile: brute pre-pass + v6
     dual-unit sub-warp BVH traversal (see _kernel_body docstring for the
     design). Inputs ox..dz/t_lim are (8,128) tiles already in vregs;
@@ -352,7 +374,10 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
         ntask_ref[s] = t0s
         sp_ref[s] = jnp.int32(0)
         ltask_ref[s] = NONE  # leaf unit idle (reads the zero row)
+        ltaskB_ref[s] = NONE
         lsp_ref[s] = jnp.int32(0)
+        ispare_ref[s] = SPARE_NONE
+        lspare_ref[s] = SPARE_NONE
         n_alive0 += (t0s != NONE).astype(jnp.int32)
 
     # The loop cond ALSO counts down from a static bound that no real
@@ -373,27 +398,57 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
 
         # ---- Fetch: one node row (internal unit, row id == task) and
         # one tri row (leaf unit) per chain.
-        nrecs, trows, ntasks = [], [], []
+        nrecs, ntasks, ltasks, ltasksB = [], [], [], []
+        any_leaf = jnp.int32(0)
+        any_leafB = jnp.int32(0)
         for s in range(P_SUB):
             nt = ntask_ref[s]
             lt = ltask_ref[s]
             ntasks.append(nt)
+            ltasks.append(lt)
+            any_leaf += (lt != NONE).astype(jnp.int32)
+            if LEAF_ROWS == 2:
+                ltB = ltaskB_ref[s]
+                ltasksB.append(ltB)
+                any_leafB += (ltB != NONE).astype(jnp.int32)
             nrow = node_ref[pl.ds(jnp.where(nt >= 0, nt, 0), 1)]
             nrecs.append(nrow[:, 0:7 * K])
-            trows.append(tri_ref[pl.ds(jnp.where(lt >= 0, lt, zero_row), 1)])
         nrec8 = jnp.concatenate(nrecs, axis=0)                   # (8,7K)
-        trow8 = jnp.concatenate(trows, axis=0)                   # (8,128)
         ch8 = nrec8[:, 6 * K:7 * K].astype(jnp.int32)  # float-encoded (no bitcast)
 
         # ---- Leaf unit first (its t_best updates tighten the slabs).
         # Alignment-padding and zero-row records are degenerate
         # (e1=e2=0 → a==0): self-rejecting, no count/leaf-ness gate.
-        state = (t_best, best, mat, nx, ny, nz)
-        for k in range(8):
-            trec = trow8[:, k * TRI_STRIDE:(k + 1) * TRI_STRIDE]  # (8,16)
-            ids = trec[:, 9:11].astype(jnp.int32)  # float-encoded (no bitcast)
-            state = mt_record(tuple(trec[:, c:c + 1] for c in range(9)),
-                              ids[:, 0:1], ids[:, 1:2], state)
+        # Each row block (8 row loads + 8 MT sweeps) is skipped when
+        # every chain's corresponding slot is idle (slot A: ~25% of
+        # iterations — root descent + starvation; slot B more often).
+        # A chain's B slot is only filled when its A slot is (B ⊆ A).
+        def row_block(tasks):
+            def blk(state):
+                trows = [tri_ref[pl.ds(jnp.where(tasks[s] >= 0, tasks[s],
+                                                 zero_row), 1)]
+                         for s in range(P_SUB)]
+                trow8 = jnp.concatenate(trows, axis=0)           # (8,128)
+                for k in range(8):
+                    trec = trow8[:, k * TRI_STRIDE:(k + 1) * TRI_STRIDE]
+                    ids = trec[:, 9:11].astype(jnp.int32)  # float-enc
+                    state = mt_record(
+                        tuple(trec[:, c:c + 1] for c in range(9)),
+                        ids[:, 0:1], ids[:, 1:2], state)
+                return state
+            return blk
+
+        state0_ = (t_best, best, mat, nx, ny, nz)
+        if LEAF_COND:
+            state = jax.lax.cond(any_leaf > 0, row_block(ltasks),
+                                 lambda st: st, state0_)
+            if LEAF_ROWS == 2:
+                state = jax.lax.cond(any_leafB > 0, row_block(ltasksB),
+                                     lambda st: st, state)
+        else:
+            state = row_block(ltasks)(state0_)
+            if LEAF_ROWS == 2:
+                state = row_block(ltasksB)(state)
         t_best, best, mat, nx, ny, nz = state
 
         # ---- Internal unit: 4 child slabs, (8,1) bounds columns.
@@ -451,7 +506,57 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
             n_int = n_int + (ki[k] < BIG).astype(jnp.int32)
             n_leaf = n_leaf + (kl[k] < BIG).astype(jnp.int32)
 
-        # ---- Scalar phase per chain: extract sorted codes, push, pop.
+        # ---- PAIR-PACKED push prep (vector): both stacks store TWO
+        # 16-bit codes per 32-bit entry (ids < 2^16, asserted at pack
+        # time), halving the per-chain scalar stores+extracts that
+        # dominate the push phase (the cost that sank BVH8 in round 2).
+        # Deferred rank r (r=1..K-1) rides in pair r//2's low (odd r) or
+        # high (even r) half; missing ranks encode EMPTY16. Pop order is
+        # IDENTICAL to the one-code-per-entry scheme: low before high,
+        # near pairs above far pairs, and a per-chain one-entry SPARE
+        # register holds a popped entry's unconsumed high half. Any push
+        # while a spare is held re-stacks the spare beneath the new
+        # pairs first, so the spare is always the newest pending entry
+        # (LIFO preserved; traversal order bit-exact vs v6).
+        empty_col = jnp.full((P_SUB, 1), EMPTY16, jnp.int32)
+        ci_e = [jnp.where(ki[k] < BIG, ci[k], EMPTY16) for k in range(1, K)]
+        ci_e.append(empty_col)
+        cl_e = [jnp.where(kl[k] < BIG, -cl[k] - 2, EMPTY16)
+                for k in range(1, K)]
+        cl_e.append(empty_col)
+        n_pairs = K // 2
+        pair_i = [jnp.bitwise_or(ci_e[2 * pe],
+                                 jnp.left_shift(ci_e[2 * pe + 1], 16))
+                  for pe in range(n_pairs)]
+        # Leaf pairs: with LEAF_ROWS=2 the two nearest fresh leaf
+        # children feed the dual row slots directly (pairs hold ranks
+        # 2..K-1); with the default single row only the nearest goes
+        # direct (pairs hold ranks 1..K-1). The dual-row variant MEASURES
+        # SLOWER on-chip (2K spp8 10.63 s vs 10.08 s) despite 18% fewer
+        # lockstep iterations (order_study.py packet-max 65.9 → 54.0):
+        # the second MT block + row loads outweigh the saved iterations.
+        # Kept behind the flag for re-evaluation on other scenes.
+        if LEAF_ROWS == 2:
+            n_pairs_l = (K - 1) // 2
+            pair_l = [jnp.bitwise_or(cl_e[2 * pe + 1],
+                                     jnp.left_shift(cl_e[2 * pe + 2], 16))
+                      for pe in range(n_pairs_l)]
+        else:
+            n_pairs_l = K // 2
+            pair_l = [jnp.bitwise_or(cl_e[2 * pe],
+                                     jnp.left_shift(cl_e[2 * pe + 1], 16))
+                      for pe in range(n_pairs_l)]
+        lA_col = -cl[0] - 2
+        lB_col = -cl[1] - 2
+
+        def low16(x):
+            return jnp.bitwise_and(x, EMPTY16)
+
+        def consume(x):  # drop the low half; high half becomes the low
+            return jnp.bitwise_or(
+                jnp.bitwise_and(jnp.right_shift(x, 16), EMPTY16), SPARE_HIGH)
+
+        # ---- Scalar phase per chain: push pairs, pop/consume spares.
         new_alive = jnp.int32(0)
         for s in range(P_SUB):
             nt = ntasks[s]
@@ -461,50 +566,125 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
             # STALL guard: if the leaf stack is nearly full, re-schedule
             # this node (recomputed next iteration) while the leaf unit
             # drains — a sound lstack bound without a growable queue.
-            # Threshold leaves room for K-1 pushes above the clamp.
             stall = lsp >= stack_cap - 4 - K
             nh_i = jnp.where(is_int & ~stall, n_int[s, 0], 0)
             nh_l = jnp.where(is_int & ~stall, n_leaf[s, 0], 0)
-
-            # Branchless far-to-near pushes: child k (k=1..nh-1) lands
-            # at sp+(nh-1-k); non-pushed ks clamp to sp and are either
-            # overwritten by a later (smaller-k) valid store or left
-            # dead below the new stack top.
             base = s * stack_cap
-            for k in range(K - 1, 0, -1):
-                stack_ref[base + sp + jnp.maximum(nh_i - 1 - k, 0)] = ci[k][s, 0]
+
+            # Internal unit. ne = ceil((nh-1)/2) pair entries. The spare
+            # store at sp is unconditional (junk above the top when
+            # unused; overwritten by the pair stores when spare_push is
+            # false — invalid/high pe stores land first and valid ones
+            # overwrite, same branchless discipline as v6).
+            spare = ispare_ref[s]
+            has_spare = low16(spare) != EMPTY16
+            ne = nh_i >> 1
+            spare_push = has_spare & (ne > 0)
+            stack_ref[base + sp] = spare
+            sp_eff = sp + spare_push.astype(jnp.int32)
+            for pe in range(n_pairs - 1, -1, -1):
+                stack_ref[base + sp_eff + jnp.maximum(ne - 1 - pe, 0)] = (
+                    pair_i[pe][s, 0])
             # Clamped at stack_cap-4: with callers allocating the build-
-            # time worst-case bound +4 headroom this NEVER binds (the
-            # interpret-mode equivalence tests would catch it if it did);
-            # it exists so no codegen or bound bug can ever turn into an
+            # time worst-case bound +4 headroom this NEVER binds; it
+            # exists so no codegen or bound bug can ever turn into an
             # out-of-bounds SMEM write, which faults the whole device
-            # under the 2026-08-18 runtime (kernel_morph.py: v11 is the
-            # unclamped twin of passing v10 and crashes the TPU worker).
-            new_sp = jnp.minimum(sp + jnp.maximum(nh_i - 1, 0),
-                                 stack_cap - 4)
+            # under the 2026-08-18 runtime (kernel_morph.py v11).
+            new_sp = jnp.minimum(sp_eff + ne, stack_cap - 4)
             desc = jnp.where(nh_i > 0, ci[0][s, 0], NONE)
-            do_pop = ~stall & (desc == NONE) & (new_sp > 0) & (nt != NONE)
+            spare1 = jnp.where(spare_push, SPARE_NONE, spare)
+            has_spare1 = has_spare & ~spare_push
+            use_spare = ~stall & (desc == NONE) & has_spare1 & (nt != NONE)
+            do_pop = (~stall & (desc == NONE) & ~has_spare1
+                      & (new_sp > 0) & (nt != NONE))
             popped = stack_ref[base + jnp.maximum(new_sp - 1, 0)]
-            nxt = jnp.where(stall, nt, jnp.where(do_pop, popped, desc))
+            nxt = jnp.where(stall, nt,
+                  jnp.where(desc != NONE, desc,
+                  jnp.where(use_spare, low16(spare1),
+                  jnp.where(do_pop, low16(popped), NONE))))
+            ispare_ref[s] = jnp.where(use_spare, consume(spare1),
+                            jnp.where(do_pop, consume(popped), spare1))
             ntask_ref[s] = nxt
             sp_ref[s] = jnp.where(do_pop, new_sp - 1, new_sp)
 
-            # Leaf unit: hit leaf children feed the leaf stack (codes
-            # are -(2+tri_row)); the nearest goes straight to the next
-            # iteration's sweep slot, the rest push far-to-near.
-            for k in range(K - 1, 0, -1):
-                lstack_ref[base + lsp + jnp.maximum(nh_l - 1 - k, 0)] = (
-                    -cl[k][s, 0] - 2)
-            new_lsp = jnp.minimum(lsp + jnp.maximum(nh_l - 1, 0),
-                                  stack_cap - 4)
-            lt_new = jnp.where(nh_l > 0, -cl[0][s, 0] - 2, NONE)
-            l_pop = (lt_new == NONE) & (new_lsp > 0)
-            l_popped = lstack_ref[base + jnp.maximum(new_lsp - 1, 0)]
-            lt_new = jnp.where(l_pop, l_popped, lt_new)
-            ltask_ref[s] = lt_new
-            lsp_ref[s] = jnp.where(l_pop, new_lsp - 1, new_lsp)
+            if LEAF_ROWS == 2:
+                # DUAL-ROW leaf unit: two tri-row sweeps per iteration.
+                # The two nearest fresh leaf children fill the A/B slots
+                # directly; ranks 3+ push as pairs. Refills drain the
+                # spare then at most ONE stack pop, whose two halves can
+                # fill both slots. (Measured slower — see pair_l note.)
+                lspare = lspare_ref[s]
+                l_has = low16(lspare) != EMPTY16
+                nle = jnp.maximum(nh_l - 1, 0) >> 1  # pair count, ranks 2+
+                l_spush = l_has & (nle > 0)
+                lstack_ref[base + lsp] = lspare
+                lsp_eff = lsp + l_spush.astype(jnp.int32)
+                for pe in range(n_pairs_l - 1, -1, -1):
+                    lstack_ref[base + lsp_eff
+                               + jnp.maximum(nle - 1 - pe, 0)] = (
+                        pair_l[pe][s, 0])
+                new_lsp = jnp.minimum(lsp_eff + nle, stack_cap - 4)
+                lspare1 = jnp.where(l_spush, SPARE_NONE, lspare)
+                l_has1 = l_has & ~l_spush
+                f1 = nh_l > 0
+                f2 = nh_l > 1
+                c1 = lA_col[s, 0]
+                c2 = lB_col[s, 0]
+                sL = low16(lspare1)
+                sH = low16(consume(lspare1))
+                l_pop = ~f2 & ~l_has1 & (new_lsp > 0)
+                l_popped = lstack_ref[base + jnp.maximum(new_lsp - 1, 0)]
+                pL = low16(l_popped)
+                pH = low16(consume(l_popped))
 
-            new_alive += ((nxt != NONE) | (lt_new != NONE)).astype(jnp.int32)
+                def v16(x):  # an EMPTY16 half decodes to "no task"
+                    return jnp.where(x == jnp.int32(EMPTY16), NONE, x)
+
+                ltA = jnp.where(f1, c1,
+                      jnp.where(l_has1, sL,
+                      jnp.where(l_pop, pL, NONE)))
+                ltB = jnp.where(f2, c2,
+                      jnp.where(f1 & l_has1, sL,
+                      jnp.where(f1 & l_pop, pL,
+                      jnp.where(~f1 & l_has1, v16(sH),
+                      jnp.where(~f1 & l_pop, v16(pH), NONE)))))
+                lspare_ref[s] = jnp.where(f2, lspare1,
+                                jnp.where(f1 & l_has1, consume(lspare1),
+                                jnp.where(f1 & l_pop, consume(l_popped),
+                                jnp.where(~f1 & (l_has1 | l_pop),
+                                          SPARE_NONE, lspare1))))
+                ltask_ref[s] = ltA
+                ltaskB_ref[s] = ltB
+                lsp_ref[s] = jnp.where(l_pop, new_lsp - 1, new_lsp)
+            else:
+                # Single-row leaf unit: same pair discipline as the
+                # internal unit; codes are tri rows.
+                lspare = lspare_ref[s]
+                l_has = low16(lspare) != EMPTY16
+                nle = nh_l >> 1
+                l_spush = l_has & (nle > 0)
+                lstack_ref[base + lsp] = lspare
+                lsp_eff = lsp + l_spush.astype(jnp.int32)
+                for pe in range(n_pairs_l - 1, -1, -1):
+                    lstack_ref[base + lsp_eff
+                               + jnp.maximum(nle - 1 - pe, 0)] = (
+                        pair_l[pe][s, 0])
+                new_lsp = jnp.minimum(lsp_eff + nle, stack_cap - 4)
+                lt0 = jnp.where(nh_l > 0, lA_col[s, 0], NONE)
+                lspare1 = jnp.where(l_spush, SPARE_NONE, lspare)
+                l_has1 = l_has & ~l_spush
+                l_use = (lt0 == NONE) & l_has1
+                l_pop = (lt0 == NONE) & ~l_has1 & (new_lsp > 0)
+                l_popped = lstack_ref[base + jnp.maximum(new_lsp - 1, 0)]
+                ltA = jnp.where(lt0 != NONE, lt0,
+                      jnp.where(l_use, low16(lspare1),
+                      jnp.where(l_pop, low16(l_popped), NONE)))
+                lspare_ref[s] = jnp.where(l_use, consume(lspare1),
+                                jnp.where(l_pop, consume(l_popped), lspare1))
+                ltask_ref[s] = ltA
+                lsp_ref[s] = jnp.where(l_pop, new_lsp - 1, new_lsp)
+
+            new_alive += ((nxt != NONE) | (ltA != NONE)).astype(jnp.int32)
 
         return iters_left - 1, new_alive, t_best, best, mat, nx, ny, nz
 
@@ -521,7 +701,8 @@ def _kernel_body(t_min, stack_cap, zero_row, max_iters,
                  t_out_ref, id_out_ref, mat_out_ref,
                  nx_out_ref, ny_out_ref, nz_out_ref,
                  ntask_ref, sp_ref, ltask_ref, lsp_ref,
-                 stack_ref, lstack_ref):
+                 stack_ref, lstack_ref, ispare_ref, lspare_ref,
+                 ltaskB_ref):
     """DUAL-UNIT SUB-WARP traversal (v6): the 8 sublane rows of the
     (8,128) packet are independent 128-ray sub-warps (chains); each
     iteration advances every chain by ONE internal-node expansion (from
@@ -560,7 +741,8 @@ def _kernel_body(t_min, stack_cap, zero_row, max_iters,
         t_min, stack_cap, zero_row, max_iters, n_children,
         brute_trows, root_lo, root_hi, node_ref, tri_ref,
         ox, oy, oz, dx, dy, dz, t_lim,
-        ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref, lstack_ref)
+        ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref, lstack_ref,
+        ispare_ref, lspare_ref, ltaskB_ref)
     t_out_ref[pl.ds(p, 1)] = t_best[None]
     id_out_ref[pl.ds(p, 1)] = best[None]
     mat_out_ref[pl.ds(p, 1)] = mat[None]

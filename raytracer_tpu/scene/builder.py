@@ -172,16 +172,16 @@ def build_scene_bvh4(mesh: TriMesh):
 
         b4 = build_bvh4(sub, build_lbvh(sub))
 
-    # Optional widening to BVH8 (output-invariant; all backends are
-    # width-generic). MEASURED SLOWER on-chip than BVH4 for the dual-unit
-    # kernel (KERNEL_STATS r2: 2K spp2/mb20 5.31 s at width 8 vs 3.76 s at
-    # width 4): the ~1.2x fewer lockstep visits (tree_shape_study.py) lose
-    # to the per-iteration cost of 8 slab tests + 7+7 clamped stack
-    # stores + sort-8 networks. Kept behind RAYTRACER_TPU_BVH_WIDTH for
-    # future kernels that amortize pushes (group-row stacks).
+    # Widening to BVH8 (output-invariant; all backends are width-
+    # generic). With round 2's 7+7 per-chain stack stores BVH8 measured
+    # SLOWER (2K spp2/mb20 5.31 s vs 3.76 s); with round 3's PAIR-PACKED
+    # stacks (two 16-bit codes per entry + spare register,
+    # ops/pallas_traverse.py) the ~1.26x fewer lockstep visits win:
+    # 2K fused spp2 3.01 s at width 8 vs 3.18 s at width 4 — so 8 is now
+    # the production default (RAYTRACER_TPU_BVH_WIDTH overrides).
     import os as _os
 
-    width = int(_os.environ.get("RAYTRACER_TPU_BVH_WIDTH", "4"))
+    width = int(_os.environ.get("RAYTRACER_TPU_BVH_WIDTH", "8"))
     if width > 4:
         from raytracer_tpu.ops.bvh4 import widen_bvh
 
