@@ -46,7 +46,11 @@ PREFLIGHT_RTOL = 0.02   # identical RNG streams; fp-only differences
 FULL_BAND = 0.15        # full frame vs preflight mean (resolution shift)
 EXIT_CORRECTNESS = 3
 
-BACKENDS = ("pallas", "packets")
+# "fused" = the whole path loop in ONE Pallas kernel (ktf counter RNG,
+# ops/pallas_megakernel.py) — the fastest backend; "pallas" = per-bounce
+# traversal kernel under the XLA wavefront; "packets" = pure-XLA
+# traversal (slow but kernel-free) as the last-resort fallback.
+BACKENDS = ("fused", "pallas", "packets")
 ATTEMPTS_PER_BACKEND = 3
 WORKER_TIMEOUT_S = 560
 
@@ -59,7 +63,8 @@ def _build(width, height, spp, bounces, spp_per_pass):
 
 
 def worker(backend: str) -> int:
-    os.environ["RAYTRACER_TPU_TRAVERSAL"] = backend
+    os.environ["RAYTRACER_TPU_TRAVERSAL"] = (
+        "pallas" if backend == "fused" else backend)
     from raytracer_tpu.utils import jaxcache
 
     jaxcache.enable()
@@ -67,6 +72,7 @@ def worker(backend: str) -> int:
     import jax
 
     from raytracer_tpu.camera import showcase_camera
+    from raytracer_tpu.models.fused import render_image_fused
     from raytracer_tpu.models.wavefront import render_image_wavefront
     from raytracer_tpu.scene.builder import reference_scene
 
@@ -75,15 +81,24 @@ def worker(backend: str) -> int:
     scene = reference_scene(assets_dir="assets/models", build_bvh=True)
     jax.block_until_ready(scene.bvh4.bounds)
 
+    def render_cfg(cfg, cam, key):
+        if backend == "fused":
+            return render_image_fused(scene, cam, cfg, key)
+        return render_image_wavefront(scene, cam, cfg, key)
+
     # --- Pre-flight known-answer gate. ---------------------------------
     with open(EXPECTED_FILE) as f:
         expected = json.load(f)
     pf_cfg = _build(spp_per_pass=PREFLIGHT["spp"], bounces=PREFLIGHT["max_bounces"],
                     **{k: PREFLIGHT[k] for k in ("width", "height", "spp")})
     pf_cam = showcase_camera(pf_cfg)
-    pf = render_image_wavefront(scene, pf_cam, pf_cfg, jax.random.key(0))
+    pf = render_cfg(pf_cfg, pf_cam, jax.random.key(0))
     pf_mean = float(pf.mean())
-    exp_mean = float(expected["mean_rgb"])
+    # The fused kernel draws from the ktf counter stream — a different
+    # (equally valid) RNG stream than jax.random, so its Monte-Carlo
+    # mean gates against the CPU-exact ktf expected value.
+    exp_mean = float(expected["mean_rgb_ktf"] if backend == "fused"
+                     else expected["mean_rgb"])
     rel = abs(pf_mean - exp_mean) / exp_mean
     print(f"# preflight mean_rgb={pf_mean:.6f} expected={exp_mean:.6f} "
           f"rel={rel:.4f}", file=sys.stderr, flush=True)
@@ -105,7 +120,7 @@ def worker(backend: str) -> int:
     cam = showcase_camera(cfg)
 
     def render(key):
-        return render_image_wavefront(scene, cam, cfg, key)
+        return render_cfg(cfg, cam, key)
 
     float(render(jax.random.key(0)).mean())  # warmup / compile
     times = []

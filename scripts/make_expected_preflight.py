@@ -37,13 +37,20 @@ def main():
     cam = showcase_camera(cfg)
     img = render_image_wavefront(scene, cam, cfg, jax.random.key(0))
     mean = float(img.mean())
-    out = {"mean_rgb": mean, "config": p,
+    # Same frame under the kernel-portable counter RNG (utils/ktf.py) —
+    # the stream the fused path-loop megakernel draws from. A different
+    # RNG stream shifts the Monte-Carlo mean slightly, so the fused
+    # backend gates against this value instead.
+    img_ktf = render_image_wavefront(scene, cam, cfg.replace(rng_impl="ktf"),
+                                     jax.random.key(0))
+    mean_ktf = float(img_ktf.mean())
+    out = {"mean_rgb": mean, "mean_rgb_ktf": mean_ktf, "config": p,
            "note": "CPU-exact preflight mean for bench.py's correctness gate; "
                    "regenerate with scripts/make_expected_preflight.py after "
                    "any semantic change to the integrator/scene/camera."}
     with open(bench.EXPECTED_FILE, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"wrote {bench.EXPECTED_FILE}: mean_rgb={mean:.6f}")
+    print(f"wrote {bench.EXPECTED_FILE}: mean_rgb={mean:.6f} mean_rgb_ktf={mean_ktf:.6f}")
 
 
 if __name__ == "__main__":
