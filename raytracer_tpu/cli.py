@@ -117,7 +117,8 @@ def main(argv=None):
     if args.checkpoint:
         from raytracer_tpu.io.checkpoint import render_image_resumable
 
-        linear = render_image_resumable(scene, cam, cfg, key, args.checkpoint)
+        linear = render_image_resumable(scene, cam, cfg, key, args.checkpoint,
+                                        integrator=args.integrator)
     elif args.sharded:
         from raytracer_tpu.parallel.sharding import render_image_sharded
 

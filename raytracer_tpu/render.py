@@ -115,7 +115,22 @@ def iter_spp_accumulation(scene, cam, cfg: RenderConfig, key,
     spp_step = max(1, min(cfg.spp, spp_per_batch or cfg.spp_per_pass))
     h, w = cfg.height, cfg.width
     done = start_done
-    if integrator == "wavefront":
+    if integrator == "fused":
+        from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+        from raytracer_tpu.ops.pallas_megakernel import render_tiles_fused
+
+        px, py, inv = _tiled_pixel_grid(cfg)
+        inv_np = np.asarray(inv)
+        while done < cfg.spp:
+            s = min(spp_step, cfg.spp - done)
+            # Draws are keyed by ABSOLUTE sample index (sample_offset),
+            # so batched accumulation reproduces the single-pass image.
+            mean = np.asarray(render_tiles_fused(
+                scene, cam, cfg, key, px, py, spp=s,
+                sample_offset=done))[inv_np]
+            done += s
+            yield done, mean.reshape(h, w, 3) * s
+    elif integrator == "wavefront":
         from raytracer_tpu.models.wavefront import _tiled_pixel_grid, wavefront_batch
 
         px, py, inv = _tiled_pixel_grid(cfg)

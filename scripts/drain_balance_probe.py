@@ -1,0 +1,88 @@
+"""Measure per-shard WAVEFRONT DRAIN IMBALANCE (VERDICT r2 next #8 /
+SURVEY §5 'wavefront-dimension load rebalancing').
+
+The sharded render splits the tiled lane order into contiguous
+per-device ranges; each shard drains its own wavefront independently
+(lane-stable regeneration keeps shards busy until their own tail).
+Cross-shard rebalancing (all_gather queue sizes + redistribution over
+ICI) only pays if some shard's drain runs much longer than the mean.
+
+This probe renders each shard's EXACT lane range separately with the
+single-device wavefront (sequentially, same core set) on the interior
+showcase view and reports the per-shard wall-time spread. The upper
+bound on what ANY rebalancing scheme could save is (max - mean)/max of
+the per-shard times (a perfectly balanced frame finishes at the mean;
+the sharded frame finishes at the max).
+
+Usage: python scripts/drain_balance_probe.py [n_shards]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def main():
+    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    from raytracer_tpu.camera import showcase_camera
+    from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.models.wavefront import _tiled_pixel_grid, wavefront_batch
+    from raytracer_tpu.scene.builder import reference_scene
+
+    cfg = RenderConfig(width=384, height=216, spp=2, max_bounces=20)
+    scene = reference_scene(assets_dir="assets/models", build_bvh=True)
+    cam = showcase_camera(cfg)
+    px, py, _ = _tiled_pixel_grid(cfg)
+    n = px.shape[0]
+    per = -(-n // n_shards)
+    per = -(-per // 1024) * 1024  # packet-aligned like parallel/sharding.py
+    key = jax.random.key(0)
+
+    times = []
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, n)
+        if lo >= n:
+            times.append(0.0)
+            continue
+        pxs, pys = px[lo:hi], py[lo:hi]
+        r = wavefront_batch(scene, cam, pxs, pys, cfg, key, spp=cfg.spp,
+                            sample_offset=0)
+        jax.block_until_ready(r)  # compile
+        t0 = time.perf_counter()
+        r = wavefront_batch(scene, cam, pxs, pys, cfg, key, spp=cfg.spp,
+                            sample_offset=0)
+        jax.block_until_ready(r)
+        times.append(time.perf_counter() - t0)
+        print(f"shard {s}: {times[-1]:.3f} s", flush=True)
+
+    t = np.array([x for x in times if x > 0])
+    out = {
+        "n_shards": n_shards,
+        "config": "384x216 spp2 mb20 interior showcase, CPU wavefront",
+        "per_shard_s": [round(x, 3) for x in times],
+        "mean_s": round(float(t.mean()), 3),
+        "max_s": round(float(t.max()), 3),
+        "imbalance_max_over_mean": round(float(t.max() / t.mean()), 4),
+        "rebalance_upper_bound_frac": round(float((t.max() - t.mean())
+                                                  / t.max()), 4),
+        "note": "Upper bound on ANY cross-shard drain rebalancing gain = "
+                "(max-mean)/max of per-shard times; below ~0.10 the "
+                "SURVEY §5 all_gather rebalance is not worth its "
+                "collectives (decision recorded in ROADMAP).",
+    }
+    print(json.dumps(out, indent=1))
+    with open("DRAIN_BALANCE_r03.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

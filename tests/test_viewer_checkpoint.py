@@ -81,3 +81,28 @@ def test_train_state_roundtrip(scene, tmp_path):
     for k in params:
         np.testing.assert_array_equal(np.asarray(p2[k]), np.asarray(params[k]))
     assert float(extra["loss"]) == 0.5
+
+
+def test_resumable_fused_matches_single_pass(tmp_path):
+    """Fused-integrator resumable accumulation (absolute-sample-index
+    keying) equals the one-dispatch fused render, including a resume
+    from a partial checkpoint."""
+    from raytracer_tpu.models.fused import render_image_fused
+    from raytracer_tpu.ops.bvh import build_lbvh
+    from raytracer_tpu.ops.bvh4 import build_bvh4
+    from raytracer_tpu.scene.builder import cornell_materials_scene
+
+    sc = cornell_materials_scene(assets_dir="assets/models")
+    bvh = build_lbvh(sc.mesh)
+    sc = sc.replace(bvh=bvh, bvh4=build_bvh4(sc.mesh, bvh))
+    cfg = RenderConfig(width=128, height=8, spp=4, max_bounces=3,
+                       spp_per_pass=2, rng_impl="ktf")
+    cam = make_camera(aspect_ratio=cfg.width / cfg.height,
+                      fov_degrees=cfg.fov_degrees, aperture=cfg.aperture,
+                      position=(0.0, 0.05, 0.29), pitch=-5.0)
+    key = jax.random.key(3)
+    direct = np.asarray(render_image_fused(sc, cam, cfg, key, interpret=True))
+    ck = os.path.join(tmp_path, "fused.npz")
+    resumed = np.asarray(render_image_resumable(sc, cam, cfg, key, ck,
+                                                integrator="fused"))
+    np.testing.assert_allclose(resumed, direct, atol=2e-6, rtol=1e-6)
