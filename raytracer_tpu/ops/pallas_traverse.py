@@ -461,8 +461,15 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
             hk, tk = slab(bcol(k, 0), bcol(k, 1), bcol(k, 2),
                           bcol(k, 3), bcol(k, 4), bcol(k, 5), t_best)
             hks.append(hk)
-            # Representative-lane ordering key (lane 0 of each sub-warp).
-            reps.append(jnp.where(hk, tk, HALF_BIG)[:, 0:1])     # (8,1)
+            # Ordering key: TRUE nearest entry-t over the sub-warp's
+            # hitting lanes (lane-axis min reduction). The previous
+            # lane-0 "representative" key ordered children by one
+            # arbitrary ray and cost 105.4 packet-lockstep iterations
+            # vs 65.4 with the true key on bvh8 bounce rays
+            # (scripts/order_study sim, key=lane0 vs key=rept) — the
+            # single largest traversal lever found in round 3.
+            reps.append(jnp.min(jnp.where(hk, tk, BIG), axis=1,
+                                keepdims=True))                  # (8,1)
         # Only cross-lane work: K/2 LANE-axis reductions of bit-packed
         # per-child hit counts (each count ≤ 128 fits 16 bits).
         packs = [jnp.sum(hks[i].astype(jnp.int32)

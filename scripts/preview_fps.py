@@ -34,7 +34,8 @@ import numpy as np
 from raytracer_tpu import camera_motion
 from raytracer_tpu.camera import showcase_camera
 from raytracer_tpu.config import RenderConfig
-from raytracer_tpu.models.wavefront import _tiled_pixel_grid, wavefront_batch
+from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+from raytracer_tpu.ops.pallas_megakernel import render_tiles_fused
 from raytracer_tpu.scene.builder import reference_scene
 
 
@@ -46,7 +47,10 @@ def main(width=640, height=360, frames=60):
     key = jax.random.key(0)
 
     def frame(cam):
-        rgb = wavefront_batch(scene, cam, px, py, cfg, key, spp=1)
+        # Fused path-loop megakernel: the whole 1-spp frame is one
+        # dispatch (camera basis rides in a packed row ARGUMENT — no
+        # per-frame recompiles).
+        rgb = render_tiles_fused(scene, cam, cfg, key, px, py, spp=1)
         return np.asarray(rgb[inv])  # host fetch = the "display" step
 
     # Warmup / compile (one program: camera is an argument).
@@ -68,6 +72,7 @@ def main(width=640, height=360, frames=60):
     assert np.isfinite(img).all()
     out = {
         "metric": "preview_fps_1spp",
+        "integrator": "fused",
         "value": round(fps, 2),
         "unit": "frames/s",
         "resolution": f"{width}x{height}",
