@@ -81,23 +81,31 @@ def main():
     time_trav(o_inc, d_inc, "trav_incoherent_128pk")
     time_trav(o_cam, d_cam, "trav_camera_128pk")
 
-    for name, spp, mb in (("frame_2k_spp2_mb1", 2, 1),
-                          ("frame_2k_spp2_mb20", 2, 20)):
-        c = RenderConfig(width=2560, height=1440, spp=spp, max_bounces=mb,
-                         spp_per_pass=spp)
-        cm = showcase_camera(c)
-        img = render_image_wavefront(scene, cm, c, jax.random.key(0))
-        jax.block_until_ready(img)
-        best = 1e9
-        for i in range(2):
-            t0 = time.perf_counter()
-            img = render_image_wavefront(scene, cm, c, jax.random.key(1 + i))
-            jax.block_until_ready(img)
-            best = min(best, time.perf_counter() - t0)
-        out[name] = {"s": round(best, 3),
-                     "mrays_per_s": round(2560 * 1440 * spp / best / 1e6, 3),
-                     "mean_rgb": round(float(img.mean()), 5)}
-        print(f"{name}: {out[name]}", flush=True)
+    from raytracer_tpu.models.fused import render_image_fused
+
+    def frame_rows(render, tag, rng_impl):
+        for name, spp, mb in ((f"frame_2k_spp2_mb1_{tag}", 2, 1),
+                              (f"frame_2k_spp2_mb20_{tag}", 2, 20),
+                              (f"frame_2k_spp8_mb20_{tag}", 8, 20)):
+            c = RenderConfig(width=2560, height=1440, spp=spp, max_bounces=mb,
+                             spp_per_pass=spp, rng_impl=rng_impl)
+            cm = showcase_camera(c)
+            img = render(scene, cm, c, jax.random.key(0))
+            float(jnp.mean(img))
+            best = 1e9
+            m = 0.0
+            for i in range(2):
+                t0 = time.perf_counter()
+                img = render(scene, cm, c, jax.random.key(1 + i))
+                m = float(jnp.mean(img))
+                best = min(best, time.perf_counter() - t0)
+            out[name] = {"s": round(best, 3),
+                         "mrays_per_s": round(2560 * 1440 * spp / best / 1e6, 3),
+                         "mean_rgb": round(m, 5)}
+            print(f"{name}: {out[name]}", flush=True)
+
+    frame_rows(render_image_fused, "fused", "ktf")
+    frame_rows(render_image_wavefront, "wave", "jax")
 
     path = os.path.join(REPO, f"KERNEL_STATS_r{ROUND:02d}.json")
     with open(path, "w") as f:
