@@ -114,23 +114,49 @@ def render_image_wavefront_sharded(
     key: jax.Array,
     mesh: Mesh | None = None,
     spp: int | None = None,
+    interleave: bool = True,
 ) -> jnp.ndarray:
     """Full-image render with the PERF integrator (lane-stable wavefront,
     models/wavefront.py) sharded over the mesh — the path the 2K/2000spp
     multi-host workload (BASELINE config 5) actually runs. Lanes are in
     8x128 screen-tile order (compact Pallas packets per shard); the tile
     count is a multiple of 1024 so any power-of-two shard count divides
-    it evenly with whole tiles per shard."""
+    it evenly with whole tiles per shard.
+
+    `interleave` assigns PACKETS to shards round-robin (shard s takes
+    packets s, s+S, 2S+s, ...) instead of contiguous screen blocks:
+    per-shard path cost varies ~1.8x max/mean across screen regions
+    (light pool vs bunny — DRAIN_BALANCE_r03.json), and the frame ends
+    at the SLOWEST shard. Striding equalizes the mix statistically with
+    ZERO collectives; pixel-keyed RNG keeps the image bit-identical
+    (tests/test_sharding.py)."""
+    import numpy as np
+
     from raytracer_tpu.models.wavefront import _tiled_pixel_grid
 
     mesh = make_mesh() if mesh is None else mesh
+    n_shards = mesh.devices.size
     px, py, inv = _tiled_pixel_grid(cfg)
-    if px.shape[0] % mesh.devices.size:
+    if px.shape[0] % n_shards:
         raise ValueError(
             f"tile-lane count {px.shape[0]} not divisible by mesh size "
-            f"{mesh.devices.size}")
+            f"{n_shards}")
+    if interleave:
+        g = px.shape[0] // 1024
+        if g % n_shards == 0:
+            perm = np.concatenate(
+                [np.arange(s, g, n_shards) for s in range(n_shards)])
+            lanes = (perm[:, None] * 1024
+                     + np.arange(1024)[None, :]).reshape(-1)
+            px, py = px[lanes], py[lanes]
+            unperm = np.empty_like(lanes)
+            unperm[lanes] = np.arange(lanes.size)
+        else:
+            interleave = False
     rgb = _render_sharded_wavefront(scene, cam, px, py, cfg, key, mesh,
                                     spp or cfg.spp)
+    if interleave:
+        rgb = rgb[unperm]
     return rgb[inv].reshape(cfg.height, cfg.width, 3)
 
 

@@ -47,24 +47,41 @@ def main():
     per = -(-per // 1024) * 1024  # packet-aligned like parallel/sharding.py
     key = jax.random.key(0)
 
-    times = []
-    for s in range(n_shards):
-        lo, hi = s * per, min((s + 1) * per, n)
-        if lo >= n:
-            times.append(0.0)
-            continue
-        pxs, pys = px[lo:hi], py[lo:hi]
-        r = wavefront_batch(scene, cam, pxs, pys, cfg, key, spp=cfg.spp,
-                            sample_offset=0)
-        jax.block_until_ready(r)  # compile
-        t0 = time.perf_counter()
-        r = wavefront_batch(scene, cam, pxs, pys, cfg, key, spp=cfg.spp,
-                            sample_offset=0)
-        jax.block_until_ready(r)
-        times.append(time.perf_counter() - t0)
-        print(f"shard {s}: {times[-1]:.3f} s", flush=True)
+    g = n // 1024
 
+    def shard_lanes(s, mode):
+        if mode == "contiguous":
+            lo, hi = s * per, min((s + 1) * per, n)
+            return np.arange(lo, hi)
+        pk = np.arange(s, g, n_shards)  # round-robin packets
+        return (pk[:, None] * 1024 + np.arange(1024)[None, :]).reshape(-1)
+
+    px_np, py_np = np.asarray(px), np.asarray(py)
+    results = {}
+    for mode in ("contiguous", "interleaved"):
+        times = []
+        for s in range(n_shards):
+            lanes = shard_lanes(s, mode)
+            if lanes.size == 0:
+                times.append(0.0)
+                continue
+            import jax.numpy as jnp
+            pxs = jnp.asarray(px_np[lanes])
+            pys = jnp.asarray(py_np[lanes])
+            r = wavefront_batch(scene, cam, pxs, pys, cfg, key, spp=cfg.spp,
+                                sample_offset=0)
+            jax.block_until_ready(r)  # compile
+            t0 = time.perf_counter()
+            r = wavefront_batch(scene, cam, pxs, pys, cfg, key, spp=cfg.spp,
+                                sample_offset=0)
+            jax.block_until_ready(r)
+            times.append(time.perf_counter() - t0)
+            print(f"{mode} shard {s}: {times[-1]:.3f} s", flush=True)
+        results[mode] = times
+
+    times = results["contiguous"]
     t = np.array([x for x in times if x > 0])
+    ti = np.array([x for x in results["interleaved"] if x > 0])
     out = {
         "n_shards": n_shards,
         "config": "384x216 spp2 mb20 interior showcase, CPU wavefront",
@@ -74,10 +91,19 @@ def main():
         "imbalance_max_over_mean": round(float(t.max() / t.mean()), 4),
         "rebalance_upper_bound_frac": round(float((t.max() - t.mean())
                                                   / t.max()), 4),
+        "interleaved_per_shard_s": [round(x, 3)
+                                    for x in results["interleaved"]],
+        "interleaved_imbalance_max_over_mean": round(float(ti.max()
+                                                           / ti.mean()), 4),
+        "interleaved_residual_frac": round(float((ti.max() - ti.mean())
+                                                 / ti.max()), 4),
         "note": "Upper bound on ANY cross-shard drain rebalancing gain = "
-                "(max-mean)/max of per-shard times; below ~0.10 the "
-                "SURVEY §5 all_gather rebalance is not worth its "
-                "collectives (decision recorded in ROADMAP).",
+                "(max-mean)/max of per-shard times. The imbalance is "
+                "SCREEN-REGION work bias, not drain dynamics: round-robin "
+                "packet interleaving (parallel/sharding.py interleave=True, "
+                "zero collectives, bit-identical output) removes most of "
+                "it; the residual is what an all_gather drain rebalance "
+                "could still chase (build only if residual > ~0.10).",
     }
     print(json.dumps(out, indent=1))
     with open("DRAIN_BALANCE_r03.json", "w") as f:
