@@ -37,15 +37,26 @@ def _atomic_save(path: str, **arrays) -> None:
             os.remove(tmp)
 
 
+def _rng_stream_id(cfg, integrator: str) -> str:
+    """The RNG stream an accumulation draws from. The fused integrator
+    always draws the ktf counter stream; wavefront/megakernel draw
+    cfg.rng_impl. Mixing streams in one accumulator silently breaks the
+    resumed==uninterrupted invariant, so the stream id is part of the
+    checkpoint header (ADVICE r3)."""
+    return "ktf" if (integrator == "fused" or cfg.rng_impl == "ktf") else "jax"
+
+
 def render_image_resumable(scene, cam, cfg, key, ckpt_path: str,
                            spp_per_batch: int | None = None,
                            integrator: str = "wavefront"):
     """Resumable render: accumulates spp in batches, saving
     (accumulated sum, samples done) after each. Returns the mean linear
-    image f32[H,W,3]. `integrator`: 'wavefront' (fast path) or
-    'megakernel' (row-chunked oracle path)."""
+    image f32[H,W,3]. `integrator`: 'wavefront' (fast path), 'fused'
+    (one-dispatch Pallas path loop), or 'megakernel' (row-chunked oracle
+    path)."""
     spp_per_batch = spp_per_batch or cfg.spp_per_pass
     h, w = cfg.height, cfg.width
+    stream = _rng_stream_id(cfg, integrator)
 
     done = 0
     acc = np.zeros((h, w, 3), np.float32)
@@ -55,6 +66,10 @@ def render_image_resumable(scene, cam, cfg, key, ckpt_path: str,
                 z["acc"].shape == acc.shape
                 and int(z["spp_total"]) == cfg.spp
                 and int(z["seed_hash"]) == _key_hash(key)
+                # Checkpoints without the stream field (pre-r4) are
+                # rejected too — their stream is unknowable.
+                and "rng_stream" in z.files
+                and str(z["rng_stream"]) == stream
             ):
                 acc = z["acc"]
                 done = int(z["spp_done"])
@@ -66,6 +81,7 @@ def render_image_resumable(scene, cam, cfg, key, ckpt_path: str,
             spp_done=np.int64(done),
             spp_total=np.int64(cfg.spp),
             seed_hash=np.int64(_key_hash(key)),
+            rng_stream=np.str_(stream),
         )
 
     from raytracer_tpu.render import iter_spp_accumulation

@@ -517,8 +517,9 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
         # 16-bit codes per 32-bit entry (ids < 2^16, asserted at pack
         # time), halving the per-chain scalar stores+extracts that
         # dominate the push phase (the cost that sank BVH8 in round 2).
-        # Deferred rank r (r=1..K-1) rides in pair r//2's low (odd r) or
-        # high (even r) half; missing ranks encode EMPTY16. Pop order is
+        # Deferred rank r (r=1..K-1) rides in pair (r-1)//2's low half
+        # (odd r) or high half (even r) — pair_i[pe] packs rank 2pe+1
+        # low / rank 2pe+2 high; missing ranks encode EMPTY16. Pop order is
         # IDENTICAL to the one-code-per-entry scheme: low before high,
         # near pairs above far pairs, and a per-chain one-entry SPARE
         # register holds a popped entry's unconsumed high half. Any push

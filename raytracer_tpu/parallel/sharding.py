@@ -32,6 +32,36 @@ from raytracer_tpu.scene.types import Scene
 
 RAY_AXIS = "rays"
 
+import logging
+
+_log = logging.getLogger(__name__)
+
+
+def _interleave_packets(px, py, n_shards: int):
+    """Round-robin PACKET→shard permutation (shard s takes packets
+    s, s+S, 2S+s, ...): per-shard path cost varies ~1.8x max/mean across
+    screen regions (light pool vs bunny — DRAIN_BALANCE_r03.json) and the
+    frame ends at the SLOWEST shard; striding equalizes the mix
+    statistically with ZERO collectives. Pixel-keyed RNG keeps the image
+    bit-identical (tests/test_sharding.py::test_interleave_permutation_*).
+
+    Returns (px, py, unperm) — unperm is None when the packet count is
+    not a multiple of the shard count (contiguous fallback, logged)."""
+    import numpy as np
+
+    g = px.shape[0] // 1024
+    if g % n_shards:
+        _log.info(
+            "packet interleave disabled: %d packets not divisible by %d "
+            "shards (contiguous assignment)", g, n_shards)
+        return px, py, None
+    perm = np.concatenate(
+        [np.arange(s, g, n_shards) for s in range(n_shards)])
+    lanes = (perm[:, None] * 1024 + np.arange(1024)[None, :]).reshape(-1)
+    unperm = np.empty_like(lanes)
+    unperm[lanes] = np.arange(lanes.size)
+    return px[lanes], py[lanes], unperm
+
 
 def make_mesh(devices=None, axis_name: str = RAY_AXIS) -> Mesh:
     devices = jax.devices() if devices is None else devices
@@ -130,8 +160,6 @@ def render_image_wavefront_sharded(
     at the SLOWEST shard. Striding equalizes the mix statistically with
     ZERO collectives; pixel-keyed RNG keeps the image bit-identical
     (tests/test_sharding.py)."""
-    import numpy as np
-
     from raytracer_tpu.models.wavefront import _tiled_pixel_grid
 
     mesh = make_mesh() if mesh is None else mesh
@@ -141,21 +169,71 @@ def render_image_wavefront_sharded(
         raise ValueError(
             f"tile-lane count {px.shape[0]} not divisible by mesh size "
             f"{n_shards}")
+    unperm = None
     if interleave:
-        g = px.shape[0] // 1024
-        if g % n_shards == 0:
-            perm = np.concatenate(
-                [np.arange(s, g, n_shards) for s in range(n_shards)])
-            lanes = (perm[:, None] * 1024
-                     + np.arange(1024)[None, :]).reshape(-1)
-            px, py = px[lanes], py[lanes]
-            unperm = np.empty_like(lanes)
-            unperm[lanes] = np.arange(lanes.size)
-        else:
-            interleave = False
+        px, py, unperm = _interleave_packets(px, py, n_shards)
     rgb = _render_sharded_wavefront(scene, cam, px, py, cfg, key, mesh,
                                     spp or cfg.spp)
+    if unperm is not None:
+        rgb = rgb[unperm]
+    return rgb[inv].reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "spp"))
+def _render_sharded_fused(scene, cam, px, py, cfg, key, mesh, spp):
+    from raytracer_tpu.ops.pallas_megakernel import render_tiles_fused
+
+    def local_render(scene, cam, px, py, key):
+        # One Pallas path-loop dispatch per shard, zero collectives;
+        # ktf RNG is (pixel, sample, bounce)-keyed so the sharded image
+        # equals the single-device fused render exactly.
+        return render_tiles_fused(scene, cam, cfg, key, px, py, spp=spp)
+
+    return shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )(scene, cam, px, py, key)
+
+
+def render_image_fused_sharded(
+    scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    key: jax.Array,
+    mesh: Mesh | None = None,
+    spp: int | None = None,
+    interleave: bool = True,
+) -> jnp.ndarray:
+    """Full-image render with the PRODUCTION integrator — the fused
+    path-loop megakernel (ops/pallas_megakernel.py, one dispatch per
+    shard per frame) — sharded over the mesh, so BASELINE config[5]'s
+    multi-host workload runs the fastest backend (VERDICT r3 next #3).
+    Packets are round-robin interleaved across shards like the sharded
+    wavefront; each shard must receive a whole number of 1024-ray
+    packets."""
+    from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+    from raytracer_tpu.ops.pallas_megakernel import (
+        fused_megakernel_available)
+
+    mesh = make_mesh() if mesh is None else mesh
+    n_shards = mesh.devices.size
+    px, py, inv = _tiled_pixel_grid(cfg)
+    g = px.shape[0] // 1024
+    if g % n_shards:
+        raise ValueError(
+            f"packet count {g} not divisible by mesh size {n_shards}")
+    if not fused_megakernel_available(scene, px.shape[0] // n_shards):
+        raise ValueError("scene exceeds the fused-kernel budgets "
+                         "(see ops/pallas_megakernel.py)")
+    unperm = None
     if interleave:
+        px, py, unperm = _interleave_packets(px, py, n_shards)
+    rgb = _render_sharded_fused(scene, cam, px, py, cfg, key, mesh,
+                                spp or cfg.spp)
+    if unperm is not None:
         rgb = rgb[unperm]
     return rgb[inv].reshape(cfg.height, cfg.width, 3)
 

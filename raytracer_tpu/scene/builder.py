@@ -9,6 +9,8 @@ scenes are plain host-side constructors returning SoA pytrees.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from raytracer_tpu.scene.types import (
@@ -27,6 +29,23 @@ GROUND_SPHERE = dict(center=(0.0, -1000.0, 0.0), radius=999.0, albedo=(0.5, 0.5,
 MIRROR_SPHERE = dict(center=(0.2, 0.2, 0.0), radius=0.05, albedo=(0.7, 0.6, 0.5))
 
 
+def _host_built(fn):
+    """Scene building is PREPROCESSING: run its eager ops / one-off jits
+    on the host CPU backend and device_put the finished pytree once.
+    Through the tunneled TPU every eager op is a fresh ~30-60 s XLA
+    compile when the compile service is cold (utils/hostbuild.py) — this
+    is what made bench workers hang before their first real dispatch.
+    No-op when the default device already is the CPU (tests, dryrun)."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        from raytracer_tpu.utils.hostbuild import build_on_host
+
+        return build_on_host(fn, *args, **kwargs)
+
+    return wrapper
+
+
+@_host_built
 def cornell_spheres_scene() -> Scene:
     """BASELINE config[0]: Cornell-style lighting with analytic spheres
     only (no mesh/BVH) — exercises all four material types and is small
@@ -89,6 +108,7 @@ def add_reference_extras(
     return Scene(materials=mats, spheres=spheres, mesh=mesh, name=name)
 
 
+@_host_built
 def reference_scene(assets_dir: str = "assets/models", with_bunny: bool = True,
                     build_bvh: bool = True) -> Scene:
     """The full reference world (SceneManager.h:101-103 +
@@ -219,6 +239,7 @@ def build_scene_bvh4(mesh: TriMesh):
     )
 
 
+@_host_built
 def cornell_materials_scene(assets_dir: str = "assets/models") -> Scene:
     """BASELINE config[1]: Cornell triangles + all four material types —
     the Cornell box with a glass sphere and a rough-metal sphere placed

@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 
 
-def enable(cache_dir: str | None = None) -> None:
+def enable(cache_dir: str | None = None, host_cpu: bool = True) -> None:
     import jax
 
     cache_dir = cache_dir or os.environ.get(
@@ -22,3 +22,10 @@ def enable(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    if host_cpu:
+        # Make a host CPU backend available ALONGSIDE the default
+        # platform while the backend is still uninitialized, so scene
+        # builders can run off-tunnel (utils/hostbuild.py).
+        from raytracer_tpu.utils import hostbuild
+
+        hostbuild.host_cpu_device()

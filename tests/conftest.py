@@ -47,6 +47,8 @@ _SLOW_IDS = (
     "test_bvh4_leaf_ranges_cover_all_triangles",
     "test_fused_trace_matches_generic",
     "test_two_process_distributed_render",
+    "test_sharded_wavefront_interleave_active",
+    "test_fused_sharded_matches_single_device",
 )
 
 

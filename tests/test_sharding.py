@@ -99,6 +99,44 @@ def test_sharded_wavefront_matches_single_device(scene):
     np.testing.assert_allclose(single, sharded, rtol=0, atol=5e-7)
 
 
+def test_interleave_permutation_contract():
+    """Helper contract (fast): 16 packets / 8 shards → a real
+    (non-identity) permutation — shard s takes packets (s, s+8); with
+    g == n_shards round-robin degenerates to the identity, so
+    g=2*n_shards is the smallest genuinely-permuting case. 2 packets /
+    8 shards → contiguous fallback (unperm None)."""
+    from raytracer_tpu.parallel.sharding import _interleave_packets
+
+    px16 = jnp.arange(16 * 1024, dtype=jnp.int32)
+    pxp, _, unperm = _interleave_packets(px16, px16, 8)
+    assert unperm is not None and not np.array_equal(
+        unperm, np.arange(unperm.size))
+    np.testing.assert_array_equal(np.asarray(pxp)[unperm], np.asarray(px16))
+    px2 = jnp.arange(2 * 1024, dtype=jnp.int32)
+    _, _, unperm2 = _interleave_packets(px2, px2, 8)
+    assert unperm2 is None
+
+
+def test_sharded_wavefront_interleave_active(scene):
+    """Interleave path EXERCISED in a render (ADVICE r3): 128x128 → 16
+    packets on the 8-device mesh, so g % n_shards == 0 with a
+    non-identity permutation (every prior test used g=2 and silently
+    fell back to contiguous). Interleaved == contiguous ==
+    single-device."""
+    from raytracer_tpu.models.wavefront import render_image_wavefront
+    from raytracer_tpu.parallel.sharding import render_image_wavefront_sharded
+
+    cfg = RenderConfig(width=128, height=128, spp=1, max_bounces=3)
+    key = jax.random.key(17)
+    single = np.asarray(render_image_wavefront(scene, _cam(cfg), cfg, key))
+    inter = np.asarray(render_image_wavefront_sharded(
+        scene, _cam(cfg), cfg, key, mesh=make_mesh(), interleave=True))
+    contig = np.asarray(render_image_wavefront_sharded(
+        scene, _cam(cfg), cfg, key, mesh=make_mesh(), interleave=False))
+    np.testing.assert_allclose(single, inter, rtol=0, atol=5e-7)
+    np.testing.assert_allclose(single, contig, rtol=0, atol=5e-7)
+
+
 def test_scaling_report_efficiency_normalization(scene):
     """scaling_report efficiency is ALWAYS normalized to the 1-device
     run — even when the caller's count list starts at 2, the 1-device row

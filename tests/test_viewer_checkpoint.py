@@ -40,6 +40,43 @@ def test_resumable_render_matches_direct(scene, tmp_path):
     np.testing.assert_allclose(a2, a, atol=1e-7)
 
 
+def test_resume_rejects_rng_stream_mismatch(scene, tmp_path):
+    """A checkpoint written under one RNG stream must NOT be resumed by
+    an integrator drawing a different stream (ADVICE r3 medium): mixing
+    ktf-counter and jax.random samples in one accumulator silently
+    breaks the resumed==uninterrupted invariant. The mismatched resume
+    restarts the accumulation instead."""
+    cfg = RenderConfig(width=16, height=8, spp=4, max_bounces=3,
+                       spp_per_pass=2)
+    key = jax.random.key(3)
+    ckpt = os.path.join(tmp_path, "ck_stream.npz")
+    # Write a PARTIAL wavefront ("jax"-stream) checkpoint.
+    from raytracer_tpu.render import iter_spp_accumulation
+
+    it = iter_spp_accumulation(scene, _cam(cfg), cfg, key,
+                               integrator="wavefront", spp_per_batch=2)
+    done, batch = next(it)
+    from raytracer_tpu.io.checkpoint import _atomic_save, _key_hash
+
+    _atomic_save(ckpt, acc=batch, spp_done=np.int64(done),
+                 spp_total=np.int64(cfg.spp),
+                 seed_hash=np.int64(_key_hash(key)),
+                 rng_stream=np.str_("jax"))
+    # Same header but resumed with a ktf-stream config: the stale
+    # accumulator must be discarded — the result equals a fresh
+    # ktf-stream render, not a jax/ktf mixture.
+    cfg_ktf = cfg.replace(rng_impl="ktf")
+    resumed = np.asarray(render_image_resumable(
+        scene, _cam(cfg_ktf), cfg_ktf, key, ckpt))
+    from raytracer_tpu.models.wavefront import render_image_wavefront
+
+    fresh = np.asarray(render_image_wavefront(scene, _cam(cfg_ktf), cfg_ktf,
+                                              key))
+    np.testing.assert_allclose(resumed, fresh, atol=2e-5, rtol=1e-5)
+    with np.load(ckpt) as z:
+        assert str(z["rng_stream"]) == "ktf"
+
+
 def test_resume_from_partial_checkpoint(scene, tmp_path):
     cfg = RenderConfig(width=8, height=8, spp=8, max_bounces=3, spp_per_pass=4)
     key = jax.random.key(9)
