@@ -52,6 +52,19 @@ class RenderConfig:
     # sorting on); kept as an option for denser scenes. Only affects
     # the fused Pallas path; results identical modulo closest-hit ties.
     sort_rays: bool = False
+    # Edge-aware / reparameterized visibility for inverse rendering
+    # (BASELINE north star; diff path only): adds a VALUE-ZERO
+    # smoothed-boundary light-visibility term (control variate:
+    # soft - stop_grad(soft)) to the megakernel integrator, so
+    # parameters that move ray DIRECTIONS (metal roughness, dielectric
+    # IOR, camera) get nonzero gradients through the light-hit
+    # discontinuity that the detached traversal otherwise kills. The
+    # forward image is bit-identical with the flag on or off
+    # (tests/test_grad.py).
+    edge_aware_lights: bool = False
+    # Relative sigmoid bandwidth of the smoothed light boundary, as a
+    # fraction of the light's half-extent.
+    edge_bandwidth: float = 0.15
     # RNG implementation: "jax" (jax.random fold chains — the default
     # and historical oracle) or "ktf" (utils/ktf.py counter-based
     # Threefry-2x32 on plain int32 ops — the SAME function the fused

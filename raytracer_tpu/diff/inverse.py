@@ -68,6 +68,21 @@ def adam_init(params: dict) -> AdamState:
     return AdamState(step=jnp.zeros((), jnp.int32), mu=z, nu=jax.tree_util.tree_map(jnp.zeros_like, params))
 
 
+def cosine_lr(lr0: float, total_steps: int, lr_min_frac: float = 0.1):
+    """Cosine decay lr0 → lr0*lr_min_frac over total_steps (then flat).
+    The r3 run oscillated in a fixed band for 550 steps at constant lr
+    (INVERSE_r03.json); decay converts that oscillation into
+    convergence."""
+    import jax.numpy as jnp
+
+    def fn(step):
+        t = jnp.minimum(step.astype(jnp.float32), total_steps) / total_steps
+        return lr0 * (lr_min_frac
+                      + (1.0 - lr_min_frac) * 0.5 * (1.0 + jnp.cos(jnp.pi * t)))
+
+    return fn
+
+
 def adam_update(state: AdamState, grads: dict, params: dict, lr=2e-2, b1=0.9, b2=0.999, eps=1e-8):
     step = state.step + 1
     mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
@@ -79,6 +94,48 @@ def adam_update(state: AdamState, grads: dict, params: dict, lr=2e-2, b1=0.9, b2
         lambda p, m, n: p - lr * m / (jnp.sqrt(n) + eps), params, mhat, nhat
     )
     return AdamState(step=step, mu=mu, nu=nu), new_params
+
+
+def make_train_step_multi(
+    base_scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    targets: jnp.ndarray,  # f32[K,H,W,3] matched common-random-number targets
+    keys: jax.Array,       # [K] key array, keys[j] rendered targets[j]
+    lr: float = 2e-2,
+    lr_fn=None,
+):
+    """Jitted Adam step whose gradient AVERAGES over K matched
+    (key, target) pairs per step (vmap over the sample axis), instead of
+    round-robin through them one at a time. Round-robin made the r3 loss
+    orbit the per-key optima in a fixed band (INVERSE_r03.json); the
+    averaged objective has the true parameters as its exact optimum and
+    a K-fold lower gradient variance. `lr_fn(step)` overrides the
+    constant lr (see cosine_lr)."""
+    import numpy as np
+
+    h, w = cfg.height, cfg.width
+    xs = jnp.asarray(np.tile(np.arange(w, dtype=np.int32), h))
+    ys = jnp.asarray(np.repeat(np.arange(h - 1, -1, -1, dtype=np.int32), w))
+    tgts = targets.reshape(targets.shape[0], -1, 3)
+
+    def pair_loss(params, key, tgt):
+        scene = _apply_params(base_scene, params)
+        rgb = render_pixels(scene, cam, xs, ys, cfg, key)
+        return jnp.mean(jnp.sum((rgb - tgt) ** 2, axis=-1)) / 3.0
+
+    def loss_fn(params):
+        losses = jax.vmap(lambda k, t: pair_loss(params, k, t))(keys, tgts)
+        return jnp.mean(losses)
+
+    @jax.jit
+    def train_step(params, adam_state, _key_unused=None):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        cur_lr = lr_fn(adam_state.step) if lr_fn is not None else lr
+        adam_state, params = adam_update(adam_state, grads, params, lr=cur_lr)
+        return params, adam_state, loss
+
+    return train_step
 
 
 def make_train_step(

@@ -20,24 +20,49 @@ from raytracer_tpu.ops.pallas_megakernel import (fused_megakernel_available,
 from raytracer_tpu.scene.types import Scene
 
 
+# ~2.8 s per dispatch at current 2K throughput; measured overhead vs one
+# 8.2 s dispatch is ~1% (chunk probe: None=8.17s, 1200=8.25s, 900=8.41s)
+# while keeping every dispatch under the tunnel's ~3 s wedge threshold.
+HOST_CHUNK_PACKETS = 1200
+
+
+def _fused_pixel_grid(cfg: RenderConfig):
+    """Lane layout for the fused kernel: 32x32-pixel packets with
+    8(w)x16(h) sub-warp blocks on large frames (+4% over the 1x128
+    strip layout — TILE_SHAPE_STUDY.json: compact footprints shrink the
+    per-chain union of node visits for bounce rays); the classic 8x128
+    screen-tile order on small frames, where 32x32 padding would
+    inflate the lane count."""
+    if cfg.width % 32 == 0 and cfg.height % 32 == 0:
+        from raytracer_tpu.schedule import blocked_pixel_grid
+
+        return blocked_pixel_grid(cfg, 32, 32, 8, 16)
+    return _tiled_pixel_grid(cfg)
+
+
 def fused_available(scene: Scene, cfg: RenderConfig) -> bool:
-    px, _, _ = _tiled_pixel_grid(cfg)
+    px, _, _ = _fused_pixel_grid(cfg)
     return fused_megakernel_available(scene, px.shape[0])
 
 
 def render_image_fused(
     scene: Scene, cam: Camera, cfg: RenderConfig, key: jax.Array,
     spp: int | None = None, interpret: bool | None = None,
+    host_chunk_packets: int | None = HOST_CHUNK_PACKETS,
 ) -> jnp.ndarray:
     """Full-image render through the fused megakernel → linear f32[H,W,3].
     spp above cfg.spp_per_pass splits into multiple dispatches with
-    identical results (sample-offset keying, like the wavefront)."""
-    px, py, inv = _tiled_pixel_grid(cfg)
+    identical results (sample-offset keying, like the wavefront); big
+    frames additionally split into ~2 s device dispatches
+    (host_chunk_packets) so no single dispatch can trip the tunnel's
+    multi-second wedge (CLAUDE.md)."""
+    px, py, inv = _fused_pixel_grid(cfg)
     spp = cfg.spp if spp is None else spp
     step = max(1, min(spp, cfg.spp_per_pass))
     if step >= spp:
         rgb = render_tiles_fused(scene, cam, cfg, key, px, py, spp=spp,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 host_chunk_packets=host_chunk_packets)
     else:
         acc = None
         done = 0
@@ -45,7 +70,9 @@ def render_image_fused(
             s = min(step, spp - done)
             part = render_tiles_fused(scene, cam, cfg, key, px, py, spp=s,
                                       sample_offset=done,
-                                      interpret=interpret) * (s / spp)
+                                      interpret=interpret,
+                                      host_chunk_packets=host_chunk_packets
+                                      ) * (s / spp)
             acc = part if acc is None else acc + part
             done += s
         rgb = acc

@@ -109,7 +109,8 @@ def pack_mat_rows(materials) -> jnp.ndarray:
 
 def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                       zero_row: int, brute_rows: tuple, trav_iters: int,
-                      n_children: int, n_spheres: int, n_materials: int):
+                      n_children: int, n_spheres: int, n_materials: int,
+                      profile: bool = False):
     spp = cfg_static["spp"]
     width = cfg_static["width"]
     height = cfg_static["height"]
@@ -122,9 +123,11 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
 
     def kernel(sc_ref, node_ref, tri_ref, pix_ref, pxf_ref, pyf_ref,
                cam_ref, sph_ref, mat_ref,
-               ax_ref, ay_ref, az_ref,
+               ax_ref, ay_ref, az_ref, cost_ref, aux_ref,
                ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref, lstack_ref,
                ispare_ref, lspare_ref, ltaskB_ref):
+        # cost_ref/aux_ref are None unless profile=True (the production
+        # kernel declares only the 3 radiance outputs).
         K = n_children
         brute_trows, root_lo, root_hi = hoist_invariants(
             node_ref, tri_ref, brute_rows, K)
@@ -187,8 +190,13 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                 return (iters > 0) & (pending > 0)
 
             def body(carry):
-                (iters, ox, oy, oz, dx, dy, dz, tx, ty, tz,
-                 ax, ay, az, sample, bounce_st, active_i) = carry
+                if profile:
+                    (iters, ox, oy, oz, dx, dy, dz, tx, ty, tz,
+                     ax, ay, az, sample, bounce_st, active_i, cost,
+                     lockstep) = carry
+                else:
+                    (iters, ox, oy, oz, dx, dy, dz, tx, ty, tz,
+                     ax, ay, az, sample, bounce_st, active_i) = carry
                 active = active_i != 0
 
                 bounce = jnp.where(active, bounce_st, 0)
@@ -276,13 +284,23 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
 
                 # --- Brute pre-pass + BVH traversal (shared core).
                 t_lim = jnp.where(survived, t_sph, -1.0)
-                t_tri, _best, mat_tri, nxg, nyg, nzg = traverse_tile(
+                trav_out = traverse_tile(
                     t_min, stack_cap, zero_row, trav_iters, K,
                     brute_trows, root_lo, root_hi, node_ref, tri_ref,
                     ox, oy, oz, dx, dy, dz, t_lim,
                     ntask_ref, sp_ref, ltask_ref, lsp_ref,
                     stack_ref, lstack_ref, ispare_ref, lspare_ref,
-                    ltaskB_ref)
+                    ltaskB_ref, profile=profile)
+                t_tri, _best, mat_tri, nxg, nyg, nzg = trav_out[:6]
+                if profile:
+                    # Per-lane cost proxy: the lane's chain's traversal
+                    # iterations plus one for the path-loop body itself
+                    # (feeds raytracer_tpu/schedule.py); plus the packet's
+                    # LOCKSTEP traversal-iteration bill for this call
+                    # (scripts/kernel_stats.py decomposition).
+                    cost = (cost + trav_out[6]
+                            + jnp.where(active, 1.0, 0.0))
+                    lockstep = lockstep + trav_out[7]
 
                 tri_wins = t_tri < t_sph
                 t_hit = jnp.where(tri_wins, t_tri, t_sph)
@@ -444,29 +462,49 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                 dz = jnp.where(cont, scdz, dz)
                 bounce_st = jnp.where(cont, bounce + 1, bounce)
 
-                return (iters - 1, ox, oy, oz, dx, dy, dz, tx, ty, tz,
-                        ax, ay, az, sample, bounce_st,
-                        cont.astype(jnp.int32))
+                base_out = (iters - 1, ox, oy, oz, dx, dy, dz, tx, ty, tz,
+                            ax, ay, az, sample, bounce_st,
+                            cont.astype(jnp.int32))
+                return base_out + (cost, lockstep) if profile else base_out
 
             init = (jnp.int32(path_iters),
                     zero, zero, zero, one, one, one,   # o, d
                     one, one, one,                      # throughput
                     zero, zero, zero,                   # acc
                     i0, i0, i0)                         # sample, bounce, active
+            if profile:
+                init = init + (zero, jnp.int32(0))      # per-lane cost, lockstep
             out = jax.lax.while_loop(cond, body, init)
             ax_ref[pl.ds(p, 1)] = out[10][None]
             ay_ref[pl.ds(p, 1)] = out[11][None]
             az_ref[pl.ds(p, 1)] = out[12][None]
+            if profile:
+                cost_ref[pl.ds(p, 1)] = out[16][None]
+                # Aux plane: row 0 = packet lockstep traversal iterations,
+                # row 1 = packet outer path iterations, rest zero.
+                # (Scalar→(1,128) splats then concat; a direct
+                # (1,1)→(8,128) broadcast is unsupported in Mosaic.)
+                lock_row = jnp.full((1, P_LANE), out[17].astype(jnp.float32))
+                outer_row = jnp.full(
+                    (1, P_LANE),
+                    (jnp.int32(path_iters) - out[0]).astype(jnp.float32))
+                zrows = jnp.zeros((P_SUB - 2, P_LANE), jnp.float32)
+                aux_ref[pl.ds(p, 1)] = jnp.concatenate(
+                    [lock_row, outer_row, zrows], axis=0)[None]
             return 0
 
         jax.lax.fori_loop(0, n_packets, per_packet, 0)
 
     def kernel_scoped(sc_ref, node_ref, tri_ref, pix_ref, pxf_ref, pyf_ref,
-                      cam_ref, sph_ref, mat_ref, ax_ref, ay_ref, az_ref):
+                      cam_ref, sph_ref, mat_ref, ax_ref, ay_ref, az_ref,
+                      *maybe_profile_refs):
+        cost_ref, aux_ref = (maybe_profile_refs if profile else (None, None))
+
         def scoped(ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref,
                    lstack_ref, ispare_ref, lspare_ref, ltaskB_ref):
             kernel(sc_ref, node_ref, tri_ref, pix_ref, pxf_ref, pyf_ref,
                    cam_ref, sph_ref, mat_ref, ax_ref, ay_ref, az_ref,
+                   cost_ref, aux_ref,
                    ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref,
                    lstack_ref, ispare_ref, lspare_ref, ltaskB_ref)
 
@@ -487,30 +525,33 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg_static", "interpret", "stack_cap", "n_brute_rows",
-                     "n_children", "n_spheres", "n_materials"))
+                     "n_children", "n_spheres", "n_materials", "profile"))
 def _render_packets_fused(sc_words, node_pack, tri_pack, pix_pk, pxf_pk, pyf_pk,
                           cam_row, sph_row, mat_rows,
                           cfg_static, interpret=False, stack_cap=STACK_CAP,
                           n_brute_rows=0, n_children=4, n_spheres=1,
-                          n_materials=1):
+                          n_materials=1, profile=False):
     """Launch the fused megakernel over packet chunks. Returns
-    (ax, ay, az) each f32[g,8,128] — SUM of per-sample radiance."""
+    (ax, ay, az) each f32[g,8,128] — SUM of per-sample radiance —
+    plus a per-lane cost plane when profile=True."""
     cfg_static = dict(cfg_static)  # hashable tuple form → dict
     g = pix_pk.shape[0]
     zero_row = tri_pack.shape[0] - 1
     brute_rows = tuple(range(zero_row - n_brute_rows, zero_row))
     trav_iters = node_pack.shape[0] + (zero_row - n_brute_rows) + 8
+    n_out = 5 if profile else 3
 
     def launch(args):
         pix_c, pxf_c, pyf_c = args
         gc = pix_c.shape[0]
         return pl.pallas_call(
             _make_mega_kernel(cfg_static, gc, stack_cap, zero_row, brute_rows,
-                              trav_iters, n_children, n_spheres, n_materials),
+                              trav_iters, n_children, n_spheres, n_materials,
+                              profile),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-            out_shape=[jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.float32)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((gc, P_SUB, P_LANE), jnp.float32)] * n_out,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
@@ -544,11 +585,25 @@ def fused_megakernel_available(scene, n_rays: int) -> bool:
 
 
 def render_tiles_fused(scene, cam, cfg, key, px, py, spp=None,
-                       sample_offset=0, interpret=None) -> jnp.ndarray:
+                       sample_offset=0, interpret=None,
+                       profile=False, host_chunk_packets=None) -> jnp.ndarray:
     """Mean linear radiance f32[N,3] over spp samples for tile-ordered
     pixels (models/wavefront._tiled_pixel_grid order; N % 1024 == 0).
     Whole integrator in one kernel; RNG = utils/ktf.py, so this equals
-    the XLA integrators under cfg.rng_impl='ktf' (fp tolerance)."""
+    the XLA integrators under cfg.rng_impl='ktf' (fp tolerance).
+
+    `profile=True` returns (rgb, cost, aux): cost f32[N] is the lane's
+    sub-warp-chain traversal iterations summed over the whole path loop
+    plus its active path iterations (raytracer_tpu/schedule.py); aux
+    f32[N] reshaped [g,8,128] holds per packet: row 0 = lockstep
+    traversal iterations, row 1 = outer path iterations
+    (scripts/kernel_stats.py cost decomposition).
+
+    `host_chunk_packets` splits the frame into SEPARATE device
+    dispatches of ~that many packets (async-enqueued, so they overlap;
+    measured overhead <2%). The tunnel wedges on multi-second
+    dispatches (CLAUDE.md: keep single dispatches under ~2-3 s), so the
+    2K bench/flagship pass ~1024 here instead of one 8+ s dispatch."""
     from raytracer_tpu.camera import camera_basis
 
     if interpret is None:
@@ -562,6 +617,27 @@ def render_tiles_fused(scene, cam, cfg, key, px, py, spp=None,
 
     pixel_ids = (py * cfg.width + px).astype(jnp.int32)
     g = n // PACKET
+    if host_chunk_packets and g > host_chunk_packets and not profile:
+        # Balanced equal-size dispatch chunks (pad the tail with packet
+        # 0 duplicates; their lanes are sliced off). One compiled shape.
+        n_chunks = -(-g // host_chunk_packets)
+        chunk = -(-g // n_chunks)
+        pad = n_chunks * chunk - g
+
+        def padded(x):
+            if not pad:
+                return x
+            return jnp.concatenate([x, jnp.tile(x[:PACKET], (pad,))])
+
+        pxp, pyp = padded(px), padded(py)
+        parts = []
+        for i in range(n_chunks):
+            lo = i * chunk * PACKET
+            parts.append(render_tiles_fused(
+                scene, cam, cfg, key,
+                pxp[lo:lo + chunk * PACKET], pyp[lo:lo + chunk * PACKET],
+                spp=spp, sample_offset=sample_offset, interpret=interpret))
+        return jnp.concatenate(parts)[:n]
     pix_pk = pixel_ids.reshape(g, P_SUB, P_LANE)
     pxf_pk = px.astype(jnp.float32).reshape(g, P_SUB, P_LANE)
     pyf_pk = py.astype(jnp.float32).reshape(g, P_SUB, P_LANE)
@@ -586,14 +662,18 @@ def render_tiles_fused(scene, cam, cfg, key, px, py, spp=None,
         max_bounces=cfg.max_bounces, min_bounces=cfg.min_bounces,
         rr_max_prob=cfg.rr_max_prob, t_min=cfg.t_min,
         reference_emission_quirk=cfg.reference_emission_quirk)
-    ax, ay, az = _render_packets_fused(
+    outs = _render_packets_fused(
         sc_words, node_pack, tri_pack, pix_pk, pxf_pk, pyf_pk,
         cam_row, sph_row, mat_rows,
         cfg_static=tuple(sorted(cfg_static.items())), interpret=interpret,
         stack_cap=stack_cap, n_brute_rows=n_brute_rows,
         n_children=int(bvh4.children.shape[1]),
         n_spheres=int(scene.spheres.center.shape[0]),
-        n_materials=int(scene.materials.type.shape[0]))
+        n_materials=int(scene.materials.type.shape[0]), profile=profile)
+    ax, ay, az = outs[:3]
     inv_spp = np.float32(1.0 / spp)
-    return jnp.stack([ax.reshape(-1), ay.reshape(-1), az.reshape(-1)],
-                     axis=-1) * inv_spp
+    rgb = jnp.stack([ax.reshape(-1), ay.reshape(-1), az.reshape(-1)],
+                    axis=-1) * inv_spp
+    if profile:
+        return rgb, outs[3].reshape(-1), outs[4].reshape(-1)
+    return rgb

@@ -284,13 +284,22 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
                   ox, oy, oz, dx, dy, dz, t_lim,
                   ntask_ref, sp_ref, ltask_ref, lsp_ref,
                   stack_ref, lstack_ref, ispare_ref, lspare_ref,
-                  ltaskB_ref):
+                  ltaskB_ref, profile: bool = False):
     """Full scene trace of ONE (8,128) ray tile: brute pre-pass + v6
     dual-unit sub-warp BVH traversal (see _kernel_body docstring for the
     design). Inputs ox..dz/t_lim are (8,128) tiles already in vregs;
     returns (t_best, best_prim, mat_id, nx, ny, nz) tiles. Shared by the
     per-bounce traversal kernel (_make_kernel) and the fused
-    path-loop megakernel (ops/pallas_megakernel.py)."""
+    path-loop megakernel (ops/pallas_megakernel.py).
+
+    `profile=True` (static) appends two returns: (7th) an (8,128) f32
+    tile where every lane of sub-warp s holds the number of traversal
+    iterations chain s stayed alive — the packet pays max over chains
+    per iteration (lockstep), so this is the per-row contribution to the
+    packet's traversal bill; (8th) the scalar number of LOCKSTEP
+    iterations this call executed. Feeds the scheduler
+    (raytracer_tpu/schedule.py) and the cost-decomposition ledger
+    (scripts/kernel_stats.py)."""
     ix = 1.0 / dx
     iy = 1.0 / dy
     iz = 1.0 / dz
@@ -394,7 +403,11 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
         return (carry[0] > 0) & (carry[1] > 0)
 
     def body(carry):
-        iters_left, n_alive, t_best, best, mat, nx, ny, nz = carry
+        if profile:
+            (iters_left, n_alive, t_best, best, mat, nx, ny, nz,
+             citer) = carry
+        else:
+            iters_left, n_alive, t_best, best, mat, nx, ny, nz = carry
 
         # ---- Fetch: one node row (internal unit, row id == task) and
         # one tri row (leaf unit) per chain.
@@ -566,6 +579,7 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
 
         # ---- Scalar phase per chain: push pairs, pop/consume spares.
         new_alive = jnp.int32(0)
+        alive_flags = []
         for s in range(P_SUB):
             nt = ntasks[s]
             is_int = nt >= 0
@@ -692,14 +706,31 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
                 ltask_ref[s] = ltA
                 lsp_ref[s] = jnp.where(l_pop, new_lsp - 1, new_lsp)
 
-            new_alive += ((nxt != NONE) | (ltA != NONE)).astype(jnp.int32)
+            chain_alive = (nxt != NONE) | (ltA != NONE)
+            alive_flags.append(chain_alive)
+            new_alive += chain_alive.astype(jnp.int32)
 
+        if profile:
+            rows = [jnp.full((1, P_LANE), af.astype(jnp.float32))
+                    for af in alive_flags]
+            citer = citer + jnp.concatenate(rows, axis=0)
+            return (iters_left - 1, new_alive, t_best, best, mat, nx, ny, nz,
+                    citer)
         return iters_left - 1, new_alive, t_best, best, mat, nx, ny, nz
 
-    _, _, t_best, best, mat, nx, ny, nz = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(max_iters), n_alive0, t_best0, best0, mat0, n0x, n0y, n0z)
-    )
+    init = (jnp.int32(max_iters), n_alive0, t_best0, best0, mat0,
+            n0x, n0y, n0z)
+    if profile:
+        # Seed with 1 per initially-alive chain (the first iteration's
+        # work happens before the end-of-body count).
+        seed = [jnp.full((1, P_LANE),
+                         (alive_cnt[s, 0] > 0).astype(jnp.float32))
+                for s in range(P_SUB)]
+        init = init + (jnp.concatenate(seed, axis=0),)
+        out = jax.lax.while_loop(cond, body, init)
+        return (out[2], out[3], out[4], out[5], out[6], out[7], out[8],
+                jnp.int32(max_iters) - out[0])
+    _, _, t_best, best, mat, nx, ny, nz = jax.lax.while_loop(cond, body, init)
     return t_best, best, mat, nx, ny, nz
 
 

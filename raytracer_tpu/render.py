@@ -116,10 +116,11 @@ def iter_spp_accumulation(scene, cam, cfg: RenderConfig, key,
     h, w = cfg.height, cfg.width
     done = start_done
     if integrator == "fused":
-        from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+        from raytracer_tpu.models.fused import (HOST_CHUNK_PACKETS,
+                                                _fused_pixel_grid)
         from raytracer_tpu.ops.pallas_megakernel import render_tiles_fused
 
-        px, py, inv = _tiled_pixel_grid(cfg)
+        px, py, inv = _fused_pixel_grid(cfg)
         inv_np = np.asarray(inv)
         while done < cfg.spp:
             s = min(spp_step, cfg.spp - done)
@@ -127,7 +128,8 @@ def iter_spp_accumulation(scene, cam, cfg: RenderConfig, key,
             # so batched accumulation reproduces the single-pass image.
             mean = np.asarray(render_tiles_fused(
                 scene, cam, cfg, key, px, py, spp=s,
-                sample_offset=done))[inv_np]
+                sample_offset=done,
+                host_chunk_packets=HOST_CHUNK_PACKETS))[inv_np]
             done += s
             yield done, mean.reshape(h, w, 3) * s
     elif integrator == "wavefront":

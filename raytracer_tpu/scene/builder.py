@@ -81,6 +81,42 @@ def cornell_spheres_scene() -> Scene:
     return Scene(materials=mats, spheres=spheres, mesh=TriMesh.empty(), name="cornell_spheres")
 
 
+def fit_light_rect(mesh: TriMesh, materials: Materials):
+    """Fit a rectangle to the scene's mesh emitter (faces whose material
+    is DiffuseLight) for the edge-aware visibility gradient estimator
+    (config.edge_aware_lights; used by models/megakernel.py). Host
+    numpy; returns f32[16] = center(3) normal(3) u_axis(3) v_axis(3)
+    half_u half_v mat_id pad, or None without a mesh light."""
+    if mesh.faces is None or mesh.faces.shape[0] == 0:
+        return None
+    fm = np.asarray(mesh.face_mat)
+    types = np.asarray(materials.type)
+    light_faces = np.nonzero(types[fm] == DIFFUSE_LIGHT)[0]
+    if light_faces.size == 0:
+        return None
+    verts = np.asarray(mesh.vertices)
+    faces = np.asarray(mesh.faces)
+    pts = verts[faces[light_faces]].reshape(-1, 3).astype(np.float64)
+    center = pts.mean(axis=0)
+    f0 = faces[light_faces[0]]
+    n = np.cross(verts[f0[1]] - verts[f0[0]], verts[f0[2]] - verts[f0[0]])
+    n = n / max(np.linalg.norm(n), 1e-12)
+    d = pts - center
+    d = d - np.outer(d @ n, n)
+    _, v = np.linalg.eigh(d.T @ d)
+    u_ax = v[:, -1]
+    u_ax = u_ax / max(np.linalg.norm(u_ax), 1e-12)
+    v_ax = np.cross(n, u_ax)
+    hu = float(np.abs(d @ u_ax).max())
+    hv = float(np.abs(d @ v_ax).max())
+    rect = np.concatenate([
+        center, n, u_ax, v_ax, [hu, hv, float(fm[light_faces[0]]), 0.0]
+    ]).astype(np.float32)
+    import jax.numpy as jnp
+
+    return jnp.asarray(rect)
+
+
 def add_reference_extras(
     mesh: TriMesh, materials: Materials, name: str = "scene"
 ) -> Scene:
@@ -105,7 +141,8 @@ def add_reference_extras(
         radii=[GROUND_SPHERE["radius"], MIRROR_SPHERE["radius"]],
         mat_ids=[m, m + 1],
     )
-    return Scene(materials=mats, spheres=spheres, mesh=mesh, name=name)
+    return Scene(materials=mats, spheres=spheres, mesh=mesh, name=name,
+                 light_rect=fit_light_rect(mesh, mats))
 
 
 @_host_built
@@ -267,4 +304,5 @@ def cornell_materials_scene(assets_dir: str = "assets/models") -> Scene:
         radii=np.concatenate([np.asarray(sp.radius), [0.09, 0.07]]).astype(np.float32),
         mat_ids=np.concatenate([np.asarray(sp.mat_id), [mcount, mcount + 1]]).astype(np.int32),
     )
-    return Scene(materials=mats, spheres=spheres, mesh=base.mesh, name="cornell_materials")
+    return Scene(materials=mats, spheres=spheres, mesh=base.mesh,
+                 name="cornell_materials", light_rect=base.light_rect)

@@ -176,6 +176,11 @@ class Scene:
     mesh: TriMesh
     bvh: Optional[Bvh] = None
     bvh4: Optional[Any] = None  # ops/bvh4.Bvh4 — preferred traversal structure
+    # Fitted rectangle of the (mesh) emitter for the edge-aware
+    # visibility gradient estimator (scene/builder.fit_light_rect):
+    # f32[16] = center(3) normal(3) u_axis(3) v_axis(3) half_u half_v
+    # mat_id(float) pad. None when the scene has no mesh light.
+    light_rect: Optional[jnp.ndarray] = None
     name: str = "scene"
 
     def replace(self, **kw) -> "Scene":

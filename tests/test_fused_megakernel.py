@@ -97,6 +97,47 @@ def test_fused_sharded_matches_single_device(scene):
     np.testing.assert_allclose(single, contig, atol=5e-7, rtol=0)
 
 
+def test_fused_host_chunked_matches_single_dispatch(scene):
+    """Splitting a frame into separate per-chunk device dispatches
+    (host_chunk_packets — the anti-wedge ≤2-3 s dispatch rule) is
+    invisible: per-lane results are computed independently, so the
+    chunked render equals the one-dispatch render EXACTLY, including a
+    non-divisible tail chunk (8 packets in chunks of 3 → 3+3+2)."""
+    from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+    from raytracer_tpu.ops.pallas_megakernel import render_tiles_fused
+
+    cfg = RenderConfig(width=128, height=64, spp=1, max_bounces=3,
+                       rng_impl="ktf")
+    key = jax.random.key(4)
+    px, py, _ = _tiled_pixel_grid(cfg)
+    whole = np.asarray(render_tiles_fused(scene, _cam(cfg), cfg, key, px, py,
+                                          interpret=True))
+    chunked = np.asarray(render_tiles_fused(scene, _cam(cfg), cfg, key, px, py,
+                                            interpret=True,
+                                            host_chunk_packets=3))
+    np.testing.assert_array_equal(whole, chunked)
+
+
+def test_fused_blocked_grid_matches_strip_grid(scene):
+    """The 32x32-block lane layout (models/fused._fused_pixel_grid) is a
+    pure relabeling: the assembled image equals the strip-layout image
+    EXACTLY (pixel-keyed RNG)."""
+    from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+    from raytracer_tpu.ops.pallas_megakernel import render_tiles_fused
+    from raytracer_tpu.schedule import blocked_pixel_grid
+
+    cfg = RenderConfig(width=128, height=32, spp=1, max_bounces=3,
+                       rng_impl="ktf")
+    key = jax.random.key(6)
+    px, py, inv = _tiled_pixel_grid(cfg)
+    strip = np.asarray(render_tiles_fused(scene, _cam(cfg), cfg, key, px, py,
+                                          interpret=True))[np.asarray(inv)]
+    px2, py2, inv2 = blocked_pixel_grid(cfg, 32, 32, 8, 16)
+    blk = np.asarray(render_tiles_fused(scene, _cam(cfg), cfg, key, px2, py2,
+                                        interpret=True))[np.asarray(inv2)]
+    np.testing.assert_array_equal(strip, blk)
+
+
 def test_fused_spp_batched_matches_single_pass(scene):
     """sample_offset keying: spp split across dispatches is invariant."""
     cfg1 = RenderConfig(width=128, height=8, spp=4, max_bounces=4,

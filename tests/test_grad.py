@@ -229,3 +229,69 @@ def test_camera_param_grads_match_finite_difference(scene):
         fd = (float(loss(fov0, pos0 + dp)) - float(loss(fov0, pos0 - dp))) / (2 * eps)
         assert np.isclose(float(g_pos[axis]), fd, rtol=0.12, atol=2e-4), (
             axis, float(g_pos[axis]), fd)
+
+
+def test_edge_aware_lights_forward_identical_and_roughness_grad():
+    """The smoothed-boundary visibility term (cfg.edge_aware_lights,
+    models/megakernel._edge_light_term) is a control variate: the
+    FORWARD image must be bit-identical with the flag on or off, while
+    metal ROUGHNESS — whose gradient is ~0 under pure detached
+    visibility (it only moves detached scatter directions) — must pick
+    up a nonzero gradient through the smoothed light boundary
+    (VERDICT r3 next #2 / BASELINE north star)."""
+    from raytracer_tpu.scene.builder import cornell_materials_scene, build_scene_bvh4
+
+    scene = cornell_materials_scene()
+    scene = scene.replace(bvh4=build_scene_bvh4(scene.mesh))
+    assert scene.light_rect is not None
+    cfg_off = RenderConfig(width=24, height=24, spp=8, max_bounces=4,
+                           reference_emission_quirk=False)
+    cfg_on = cfg_off.replace(edge_aware_lights=True)
+    key = jax.random.key(11)
+    cam = make_camera(aspect_ratio=1.0, fov_degrees=cfg_off.fov_degrees,
+                      aperture=cfg_off.aperture, position=(0.0, 0.05, 0.29),
+                      pitch=-5.0)
+
+    img_off = np.asarray(render_image(scene, cam, cfg_off, key))
+    img_on = np.asarray(render_image(scene, cam, cfg_on, key))
+    np.testing.assert_array_equal(img_off, img_on)
+
+    def loss(rough, cfg):
+        mats = Materials(
+            type=scene.materials.type, albedo=scene.materials.albedo,
+            emission=scene.materials.emission, roughness=rough,
+            ior=scene.materials.ior)
+        return jnp.mean(render_image(scene.replace(materials=mats), cam,
+                                     cfg, key))
+
+    m = scene.materials
+    metal_ids = np.nonzero(np.asarray(m.type) == 1)[0]
+    g_on = np.asarray(jax.grad(loss)(m.roughness, cfg_on))
+    g_off = np.asarray(jax.grad(loss)(m.roughness, cfg_off))
+    assert np.isfinite(g_on).all()
+    # The edge term must contribute real signal on at least one metal.
+    assert np.abs(g_on[metal_ids]).max() > 1e-5, g_on[metal_ids]
+    assert np.abs(g_on[metal_ids]).max() > 3 * np.abs(g_off[metal_ids]).max()
+
+
+def test_train_step_multi_reduces_loss(scene):
+    """Averaged multi-pair training (diff/inverse.make_train_step_multi)
+    with cosine lr: loss decreases on the matched-pair objective."""
+    from raytracer_tpu.diff import inverse
+
+    cfg = RenderConfig(width=16, height=8, spp=4, max_bounces=3,
+                       reference_emission_quirk=False)
+    cam = _cam(cfg)
+    keys = jax.random.split(jax.random.key(3), 3)
+    targets = jnp.stack([render_image(scene, cam, cfg, k) for k in keys])
+    params = inverse.init_params(scene, fields=("albedo",),
+                                 key=jax.random.key(2), noise=0.15)
+    state = inverse.adam_init(params)
+    step = inverse.make_train_step_multi(
+        scene, cam, cfg, targets, keys, lr=0.05,
+        lr_fn=inverse.cosine_lr(0.05, 12))
+    losses = []
+    for _ in range(12):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.6, losses
