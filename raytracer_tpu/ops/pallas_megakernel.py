@@ -55,12 +55,22 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracer_tpu.ops.bvh4 import Bvh4
 from raytracer_tpu.ops.pallas_traverse import (
     BIG, P_LANE, P_SUB, PACKET, STACK_CAP, TRI_STRIDE,
-    _pack_tables_v6, hoist_invariants, traverse_tile)
+    _pack_tables_v6, hoist_invariants, traverse_tile, traverse_tiles)
 from raytracer_tpu.utils import ktf
 
 MAX_SPHERES = 16    # 8 lanes each in one (1,128) row
 MAX_MATERIALS = 28  # 9 lanes each over two (1,128) rows (14 per row)
 MAX_PACKETS_PER_MEGA_CALL = 128  # bounds single-dispatch wall time
+
+
+def _default_interleave() -> int:
+    """Packets per merged path loop (1 or 2). G=2 interleaves two
+    packets' traversal latency chains in one while loop
+    (pallas_traverse.traverse_tiles). Overridable for A/B studies via
+    RAYTRACER_TPU_INTERLEAVE."""
+    import os
+
+    return int(os.environ.get("RAYTRACER_TPU_INTERLEAVE", "1"))
 
 EPS_NEAR_ZERO = np.float32(1e-8)   # vecmath.EPS_NEAR_ZERO
 SKY_TOP = (0.5, 0.7, 1.0)          # tonemap (CRTUtility.cuh:34-38)
@@ -110,7 +120,11 @@ def pack_mat_rows(materials) -> jnp.ndarray:
 def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                       zero_row: int, brute_rows: tuple, trav_iters: int,
                       n_children: int, n_spheres: int, n_materials: int,
-                      profile: bool = False):
+                      profile: bool = False, interleave: int = 1):
+    assert interleave in (1, 2)
+    assert not (profile and interleave != 1), "profile implies interleave=1"
+    if interleave == 2:
+        assert n_packets % 2 == 0
     spp = cfg_static["spp"]
     width = cfg_static["width"]
     height = cfg_static["height"]
@@ -169,40 +183,24 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
         inv_w = np.float32(1.0 / width)
         inv_h = np.float32(1.0 / height)
 
-        def per_packet(p, _):
-            pix = pix_ref[pl.ds(p, 1)][0]                        # (8,128) i32
-            pxf = pxf_ref[pl.ds(p, 1)][0]                        # (8,128) f32
-            pyf = pyf_ref[pl.ds(p, 1)][0]
+        zero = jnp.zeros((P_SUB, P_LANE), jnp.float32)
+        one = jnp.ones((P_SUB, P_LANE), jnp.float32)
+        i0 = jnp.zeros((P_SUB, P_LANE), jnp.int32)
 
-            zero = jnp.zeros((P_SUB, P_LANE), jnp.float32)
-            one = jnp.ones((P_SUB, P_LANE), jnp.float32)
-            i0 = jnp.zeros((P_SUB, P_LANE), jnp.int32)
+        def pre_trav(pix, pxf, pyf, sub):
+            """Path-loop phase BEFORE traversal for one packet: sample
+            claim + camera regen, Russian roulette, sphere sweep.
+            Returns (sub', rays, ctx) — sub' the 15 updated carries,
+            rays the traversal operands, ctx what post_trav needs."""
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz,
+             ax, ay, az, sample, bounce_st, active_i) = sub
+            active = active_i != 0
 
-            # The `active` mask is carried as int32 0/1 — Mosaic cannot
-            # legalize a vector<8x128xi1> while_loop carry (scf.yield
-            # legalization failure on the 2026-08 backend).
-            def cond(carry):
-                iters = carry[0]
-                sample = carry[13]
-                active_i = carry[15]
-                pending = jnp.sum(jnp.maximum(
-                    active_i, (sample < spp).astype(jnp.int32)))
-                return (iters > 0) & (pending > 0)
+            bounce = jnp.where(active, bounce_st, 0)
+            claim = ~active & (sample < spp)
+            s_eff = sample + soff
 
-            def body(carry):
-                if profile:
-                    (iters, ox, oy, oz, dx, dy, dz, tx, ty, tz,
-                     ax, ay, az, sample, bounce_st, active_i, cost,
-                     lockstep) = carry
-                else:
-                    (iters, ox, oy, oz, dx, dy, dz, tx, ty, tz,
-                     ax, ay, az, sample, bounce_st, active_i) = carry
-                active = active_i != 0
-
-                bounce = jnp.where(active, bounce_st, 0)
-                claim = ~active & (sample < spp)
-                s_eff = sample + soff
-
+            if True:  # (indentation-preserving block for the body below)
                 # --- Camera regeneration (Core/Camera.cuh:32-44) on
                 # claiming lanes; draws keyed at bounce 0 like the
                 # wavefront's skeys (models/wavefront.py).
@@ -282,26 +280,27 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                                       jnp.where(srad != 0.0, srad, 1.0), r_sel)
                     m_self = jnp.where(better, smat, m_self)
 
-                # --- Brute pre-pass + BVH traversal (shared core).
+                # --- Traversal happens between pre_trav and post_trav.
                 t_lim = jnp.where(survived, t_sph, -1.0)
-                trav_out = traverse_tile(
-                    t_min, stack_cap, zero_row, trav_iters, K,
-                    brute_trows, root_lo, root_hi, node_ref, tri_ref,
-                    ox, oy, oz, dx, dy, dz, t_lim,
-                    ntask_ref, sp_ref, ltask_ref, lsp_ref,
-                    stack_ref, lstack_ref, ispare_ref, lspare_ref,
-                    ltaskB_ref, profile=profile)
-                t_tri, _best, mat_tri, nxg, nyg, nzg = trav_out[:6]
-                if profile:
-                    # Per-lane cost proxy: the lane's chain's traversal
-                    # iterations plus one for the path-loop body itself
-                    # (feeds raytracer_tpu/schedule.py); plus the packet's
-                    # LOCKSTEP traversal-iteration bill for this call
-                    # (scripts/kernel_stats.py decomposition).
-                    cost = (cost + trav_out[6]
-                            + jnp.where(active, 1.0, 0.0))
-                    lockstep = lockstep + trav_out[7]
+                sub1 = (ox, oy, oz, dx, dy, dz, tx, ty, tz,
+                        ax, ay, az, sample, bounce_st, active_i)
+                rays = (ox, oy, oz, dx, dy, dz, t_lim)
+                ctx = (active, survived, bounce, s_eff, a_q,
+                       cselx, csely, cselz, r_sel, m_self, t_sph)
+                return sub1, rays, ctx
 
+        def post_trav(pix, sub, ctx, trav6):
+            """Path-loop phase AFTER traversal: hit resolution, material
+            select, scatter, accumulation, per-lane regen bookkeeping."""
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz,
+             ax, ay, az, sample, bounce_st, active_i) = sub
+            (active, survived, bounce, s_eff, a_q,
+             cselx, csely, cselz, r_sel, m_self, t_sph) = ctx
+            t_tri, _best, mat_tri, nxg, nyg, nzg = trav6
+            smp_b = ktf.KtfSampler(k0=k0, k1=k1, pixel=pix,
+                                   sample=s_eff, bounce=bounce)
+
+            if True:  # (indentation-preserving block for the body below)
                 tri_wins = t_tri < t_sph
                 t_hit = jnp.where(tri_wins, t_tri, t_sph)
                 ray_hit = t_hit < BIG
@@ -462,16 +461,58 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                 dz = jnp.where(cont, scdz, dz)
                 bounce_st = jnp.where(cont, bounce + 1, bounce)
 
-                base_out = (iters - 1, ox, oy, oz, dx, dy, dz, tx, ty, tz,
-                            ax, ay, az, sample, bounce_st,
-                            cont.astype(jnp.int32))
-                return base_out + (cost, lockstep) if profile else base_out
+                return (ox, oy, oz, dx, dy, dz, tx, ty, tz,
+                        ax, ay, az, sample, bounce_st,
+                        cont.astype(jnp.int32))
 
-            init = (jnp.int32(path_iters),
-                    zero, zero, zero, one, one, one,   # o, d
+        sub_init = (zero, zero, zero, one, one, one,   # o, d
                     one, one, one,                      # throughput
                     zero, zero, zero,                   # acc
                     i0, i0, i0)                         # sample, bounce, active
+
+        def pending_of(sub):
+            sample, active_i = sub[12], sub[14]
+            return jnp.sum(jnp.maximum(active_i,
+                                       (sample < spp).astype(jnp.int32)))
+
+        def per_packet(p, _):
+            pix = pix_ref[pl.ds(p, 1)][0]                        # (8,128) i32
+            pxf = pxf_ref[pl.ds(p, 1)][0]                        # (8,128) f32
+            pyf = pyf_ref[pl.ds(p, 1)][0]
+
+            # The `active` mask is carried as int32 0/1 — Mosaic cannot
+            # legalize a vector<8x128xi1> while_loop carry (scf.yield
+            # legalization failure on the 2026-08 backend).
+            def cond(carry):
+                return (carry[0] > 0) & (pending_of(carry[1:]) > 0)
+
+            def body(carry):
+                iters = carry[0]
+                sub = carry[1:16]
+                if profile:
+                    cost, lockstep = carry[16], carry[17]
+                sub, rays, ctx = pre_trav(pix, pxf, pyf, sub)
+                trav_out = traverse_tile(
+                    t_min, stack_cap, zero_row, trav_iters, K,
+                    brute_trows, root_lo, root_hi, node_ref, tri_ref,
+                    *rays,
+                    ntask_ref, sp_ref, ltask_ref, lsp_ref,
+                    stack_ref, lstack_ref, ispare_ref, lspare_ref,
+                    ltaskB_ref, profile=profile)
+                if profile:
+                    # Per-lane cost proxy: the lane's chain's traversal
+                    # iterations plus one for the path-loop body itself
+                    # (raytracer_tpu/schedule.py); plus the packet's
+                    # LOCKSTEP traversal-iteration bill for this call
+                    # (scripts/kernel_stats.py decomposition).
+                    cost = (cost + trav_out[6]
+                            + jnp.where(ctx[0], 1.0, 0.0))
+                    lockstep = lockstep + trav_out[7]
+                sub = post_trav(pix, sub, ctx, trav_out[:6])
+                out_c = (iters - 1,) + sub
+                return out_c + (cost, lockstep) if profile else out_c
+
+            init = (jnp.int32(path_iters),) + sub_init
             if profile:
                 init = init + (zero, jnp.int32(0))      # per-lane cost, lockstep
             out = jax.lax.while_loop(cond, body, init)
@@ -493,7 +534,58 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                     [lock_row, outer_row, zrows], axis=0)[None]
             return 0
 
-        jax.lax.fori_loop(0, n_packets, per_packet, 0)
+        def per_pair(pp, _):
+            """G=2 INTERLEAVED path loops: two packets share one while
+            loop; their traversals run MERGED in traverse_tiles (chains
+            0-7 / 8-15), whose independent latency chains interleave
+            (~15% — kernel_interleave_probe). A packet whose traversal
+            drained skips its vector phases via lax.cond inside
+            traverse_tiles, so the longer packet does not pay max-of-16
+            lockstep widening. Per-packet results are identical to the
+            G=1 kernel (chain decisions depend only on chain state)."""
+            p0 = 2 * pp
+            p1 = 2 * pp + 1
+            pix0 = pix_ref[pl.ds(p0, 1)][0]
+            pxf0 = pxf_ref[pl.ds(p0, 1)][0]
+            pyf0 = pyf_ref[pl.ds(p0, 1)][0]
+            pix1 = pix_ref[pl.ds(p1, 1)][0]
+            pxf1 = pxf_ref[pl.ds(p1, 1)][0]
+            pyf1 = pyf_ref[pl.ds(p1, 1)][0]
+
+            def cond(carry):
+                return (carry[0] > 0) & (
+                    (pending_of(carry[1:16]) + pending_of(carry[16:31])) > 0)
+
+            def body(carry):
+                iters = carry[0]
+                sub0 = carry[1:16]
+                sub1 = carry[16:31]
+                sub0, rays0, ctx0 = pre_trav(pix0, pxf0, pyf0, sub0)
+                sub1, rays1, ctx1 = pre_trav(pix1, pxf1, pyf1, sub1)
+                res0, res1 = traverse_tiles(
+                    t_min, stack_cap, zero_row, trav_iters, K,
+                    brute_trows, root_lo, root_hi, node_ref, tri_ref,
+                    [rays0, rays1],
+                    ntask_ref, sp_ref, ltask_ref, lsp_ref,
+                    stack_ref, lstack_ref, ispare_ref, lspare_ref)
+                sub0 = post_trav(pix0, sub0, ctx0, res0)
+                sub1 = post_trav(pix1, sub1, ctx1, res1)
+                return (iters - 1,) + sub0 + sub1
+
+            init = (jnp.int32(path_iters),) + sub_init + sub_init
+            out = jax.lax.while_loop(cond, body, init)
+            ax_ref[pl.ds(p0, 1)] = out[10][None]
+            ay_ref[pl.ds(p0, 1)] = out[11][None]
+            az_ref[pl.ds(p0, 1)] = out[12][None]
+            ax_ref[pl.ds(p1, 1)] = out[25][None]
+            ay_ref[pl.ds(p1, 1)] = out[26][None]
+            az_ref[pl.ds(p1, 1)] = out[27][None]
+            return 0
+
+        if interleave == 2:
+            jax.lax.fori_loop(0, n_packets // 2, per_pair, 0)
+        else:
+            jax.lax.fori_loop(0, n_packets, per_packet, 0)
 
     def kernel_scoped(sc_ref, node_ref, tri_ref, pix_ref, pxf_ref, pyf_ref,
                       cam_ref, sph_ref, mat_ref, ax_ref, ay_ref, az_ref,
@@ -508,16 +600,17 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                    ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref,
                    lstack_ref, ispare_ref, lspare_ref, ltaskB_ref)
 
+        nc = interleave * P_SUB  # chains (traverse_tiles uses G*P_SUB)
         pl.run_scoped(scoped,
-                      pltpu.SMEM((P_SUB,), jnp.int32),
-                      pltpu.SMEM((P_SUB,), jnp.int32),
-                      pltpu.SMEM((P_SUB,), jnp.int32),
-                      pltpu.SMEM((P_SUB,), jnp.int32),
-                      pltpu.SMEM((P_SUB * stack_cap,), jnp.int32),
-                      pltpu.SMEM((P_SUB * stack_cap,), jnp.int32),
-                      pltpu.SMEM((P_SUB,), jnp.int32),
-                      pltpu.SMEM((P_SUB,), jnp.int32),
-                      pltpu.SMEM((P_SUB,), jnp.int32))
+                      pltpu.SMEM((nc,), jnp.int32),
+                      pltpu.SMEM((nc,), jnp.int32),
+                      pltpu.SMEM((nc,), jnp.int32),
+                      pltpu.SMEM((nc,), jnp.int32),
+                      pltpu.SMEM((nc * stack_cap,), jnp.int32),
+                      pltpu.SMEM((nc * stack_cap,), jnp.int32),
+                      pltpu.SMEM((nc,), jnp.int32),
+                      pltpu.SMEM((nc,), jnp.int32),
+                      pltpu.SMEM((nc,), jnp.int32))
 
     return kernel_scoped
 
@@ -525,12 +618,13 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg_static", "interpret", "stack_cap", "n_brute_rows",
-                     "n_children", "n_spheres", "n_materials", "profile"))
+                     "n_children", "n_spheres", "n_materials", "profile",
+                     "interleave"))
 def _render_packets_fused(sc_words, node_pack, tri_pack, pix_pk, pxf_pk, pyf_pk,
                           cam_row, sph_row, mat_rows,
                           cfg_static, interpret=False, stack_cap=STACK_CAP,
                           n_brute_rows=0, n_children=4, n_spheres=1,
-                          n_materials=1, profile=False):
+                          n_materials=1, profile=False, interleave=1):
     """Launch the fused megakernel over packet chunks. Returns
     (ax, ay, az) each f32[g,8,128] — SUM of per-sample radiance —
     plus a per-lane cost plane when profile=True."""
@@ -540,6 +634,10 @@ def _render_packets_fused(sc_words, node_pack, tri_pack, pix_pk, pxf_pk, pyf_pk,
     brute_rows = tuple(range(zero_row - n_brute_rows, zero_row))
     trav_iters = node_pack.shape[0] + (zero_row - n_brute_rows) + 8
     n_out = 5 if profile else 3
+    # Odd packet counts fall back to the unpaired loop (the preflight
+    # gate is 5 packets); timed 2K chunks are even by construction.
+    if interleave == 2 and g % 2:
+        interleave = 1
 
     def launch(args):
         pix_c, pxf_c, pyf_c = args
@@ -547,7 +645,7 @@ def _render_packets_fused(sc_words, node_pack, tri_pack, pix_pk, pxf_pk, pyf_pk,
         return pl.pallas_call(
             _make_mega_kernel(cfg_static, gc, stack_cap, zero_row, brute_rows,
                               trav_iters, n_children, n_spheres, n_materials,
-                              profile),
+                              profile, interleave),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
@@ -586,7 +684,8 @@ def fused_megakernel_available(scene, n_rays: int) -> bool:
 
 def render_tiles_fused(scene, cam, cfg, key, px, py, spp=None,
                        sample_offset=0, interpret=None,
-                       profile=False, host_chunk_packets=None) -> jnp.ndarray:
+                       profile=False, host_chunk_packets=None,
+                       interleave=None) -> jnp.ndarray:
     """Mean linear radiance f32[N,3] over spp samples for tile-ordered
     pixels (models/wavefront._tiled_pixel_grid order; N % 1024 == 0).
     Whole integrator in one kernel; RNG = utils/ktf.py, so this equals
@@ -636,7 +735,8 @@ def render_tiles_fused(scene, cam, cfg, key, px, py, spp=None,
             parts.append(render_tiles_fused(
                 scene, cam, cfg, key,
                 pxp[lo:lo + chunk * PACKET], pyp[lo:lo + chunk * PACKET],
-                spp=spp, sample_offset=sample_offset, interpret=interpret))
+                spp=spp, sample_offset=sample_offset, interpret=interpret,
+                interleave=interleave))
         return jnp.concatenate(parts)[:n]
     pix_pk = pixel_ids.reshape(g, P_SUB, P_LANE)
     pxf_pk = px.astype(jnp.float32).reshape(g, P_SUB, P_LANE)
@@ -669,7 +769,8 @@ def render_tiles_fused(scene, cam, cfg, key, px, py, spp=None,
         stack_cap=stack_cap, n_brute_rows=n_brute_rows,
         n_children=int(bvh4.children.shape[1]),
         n_spheres=int(scene.spheres.center.shape[0]),
-        n_materials=int(scene.materials.type.shape[0]), profile=profile)
+        n_materials=int(scene.materials.type.shape[0]), profile=profile,
+        interleave=_default_interleave() if interleave is None else interleave)
     ax, ay, az = outs[:3]
     inv_spp = np.float32(1.0 / spp)
     rgb = jnp.stack([ax.reshape(-1), ay.reshape(-1), az.reshape(-1)],

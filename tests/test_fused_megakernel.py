@@ -138,6 +138,35 @@ def test_fused_blocked_grid_matches_strip_grid(scene):
     np.testing.assert_array_equal(strip, blk)
 
 
+def test_fused_interleave2_matches_single(scene):
+    """G=2 merged path loops (pallas_traverse.traverse_tiles): two
+    packets share one while loop with cond-gated per-tile steps. Chain
+    decisions depend only on chain state, so per-packet results must
+    equal the G=1 kernel EXACTLY — including an odd trailing packet
+    count (which falls back to G=1)."""
+    from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+    from raytracer_tpu.ops.pallas_megakernel import render_tiles_fused
+
+    cfg = RenderConfig(width=128, height=64, spp=2, max_bounces=6,
+                       rng_impl="ktf")
+    key = jax.random.key(15)
+    px, py, _ = _tiled_pixel_grid(cfg)
+    g1 = np.asarray(render_tiles_fused(scene, _cam(cfg), cfg, key, px, py,
+                                       interpret=True, interleave=1))
+    g2 = np.asarray(render_tiles_fused(scene, _cam(cfg), cfg, key, px, py,
+                                       interpret=True, interleave=2))
+    np.testing.assert_array_equal(g1, g2)
+
+    cfg3 = RenderConfig(width=128, height=24, spp=1, max_bounces=3,
+                        rng_impl="ktf")  # 3 packets → odd fallback
+    px3, py3, _ = _tiled_pixel_grid(cfg3)
+    a = np.asarray(render_tiles_fused(scene, _cam(cfg3), cfg3, key, px3, py3,
+                                      interpret=True, interleave=1))
+    b = np.asarray(render_tiles_fused(scene, _cam(cfg3), cfg3, key, px3, py3,
+                                      interpret=True, interleave=2))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fused_spp_batched_matches_single_pass(scene):
     """sample_offset keying: spp split across dispatches is invariant."""
     cfg1 = RenderConfig(width=128, height=8, spp=4, max_bounces=4,
