@@ -54,34 +54,23 @@ from raytracer_tpu.scene.types import Scene
 from raytracer_tpu.utils import rng as rngu
 
 
-def render_pixels_wavefront(
-    scene: Scene,
-    cam: Camera,
-    px: jnp.ndarray,  # i32[N]
-    py: jnp.ndarray,  # i32[N] (0 = bottom row)
-    cfg: RenderConfig,
-    key: jax.Array,
-    spp: int | None = None,
-    sample_offset: int = 0,
-    queue_size: int | None = None,  # kept for API compat; lanes == pixels
-) -> jnp.ndarray:
-    """Mean linear radiance f32[N,3] over spp samples per pixel.
-    `sample_offset` shifts the global sample indices so spp-batched calls
-    draw the same randoms as one big pass (keeps long renders in short
-    device dispatches)."""
-    del queue_size
-    spp = cfg.spp if spp is None else spp
-    n = px.shape[0]
-    use_ktf = cfg.rng_impl == "ktf"
-    if use_ktf:
+def _lane_pkeys(cfg: RenderConfig, key, px, py):
+    """Per-lane pixel-keyed RNG base — a pure function of (key, pixel
+    id), so it can be REBUILT for any lane subset (the drain rebalancer
+    reconstructs it for migrated lanes)."""
+    if cfg.rng_impl == "ktf":
         from raytracer_tpu.utils import ktf
 
-        pkeys = ktf.sampler(key, py * cfg.width + px)  # pixel-keyed base
-    else:
-        pkeys = rngu.lane_keys(key, py * cfg.width + px)  # static per lane
-    # Zero-gather Pallas trace+shade path (ops/intersect.trace_frame_fused)
-    # when available; otherwise the generic ops path.
-    use_fused = isect.fused_trace_available(scene, n)
+        return ktf.sampler(key, py * cfg.width + px)
+    return rngu.lane_keys(key, py * cfg.width + px)
+
+
+def _wavefront_body_maker(scene, cam, cfg: RenderConfig, spp, sample_offset,
+                          use_fused):
+    """Returns make_body(px, py, pkeys) → the one-bounce-per-iteration
+    wavefront loop body (shared by the plain, cascaded, and
+    cross-shard-rebalanced drains)."""
+    use_ktf = cfg.rng_impl == "ktf"
 
     def make_body(px, py, pkeys):
       def body(state):
@@ -171,6 +160,35 @@ def render_pixels_wavefront(
 
       return body
 
+    return make_body
+
+
+def render_pixels_wavefront(
+    scene: Scene,
+    cam: Camera,
+    px: jnp.ndarray,  # i32[N]
+    py: jnp.ndarray,  # i32[N] (0 = bottom row)
+    cfg: RenderConfig,
+    key: jax.Array,
+    spp: int | None = None,
+    sample_offset: int = 0,
+    queue_size: int | None = None,  # kept for API compat; lanes == pixels
+) -> jnp.ndarray:
+    """Mean linear radiance f32[N,3] over spp samples per pixel.
+    `sample_offset` shifts the global sample indices so spp-batched calls
+    draw the same randoms as one big pass (keeps long renders in short
+    device dispatches)."""
+    del queue_size
+    spp = cfg.spp if spp is None else spp
+    n = px.shape[0]
+    use_ktf = cfg.rng_impl == "ktf"
+    pkeys = _lane_pkeys(cfg, key, px, py)
+    # Zero-gather Pallas trace+shade path (ops/intersect.trace_frame_fused)
+    # when available; otherwise the generic ops path.
+    use_fused = isect.fused_trace_available(scene, n)
+    make_body = _wavefront_body_maker(scene, cam, cfg, spp, sample_offset,
+                                      use_fused)
+
     def n_pending(state):
         return jnp.sum((state["active"] | (state["sample"] < spp))
                        .astype(jnp.int32))
@@ -237,6 +255,162 @@ def render_pixels_wavefront(
                 cstate[k], mode="drop", unique_indices=True)
 
     return state["acc"] / jnp.float32(spp)
+
+
+def render_pixels_wavefront_rebalanced(
+    scene: Scene,
+    cam: Camera,
+    px: jnp.ndarray,   # i32[n_local] — THIS SHARD's lanes
+    py: jnp.ndarray,
+    cfg: RenderConfig,
+    key: jax.Array,
+    axis: str,
+    n_shards: int,
+    spp: int | None = None,
+    sample_offset: int = 0,
+    rebalance_div: int = 8,
+    report_iters: bool = False,
+):
+    """Sharded wavefront with a CROSS-SHARD DRAIN REBALANCE (SURVEY §5
+    'long-context analog'; VERDICT r3 next #7). Must run inside
+    shard_map over `axis`.
+
+    Per-shard independent drains end at the SLOWEST shard; after
+    round-robin packet interleaving the residual max/mean imbalance was
+    still 1.40 (DRAIN_BALANCE_r03.json). Here, once a shard's pending
+    count falls to n_local/rebalance_div, every shard compacts its
+    pending lanes into a fixed-size buffer, the buffers are
+    all_gather'd over ICI, and shard i takes the round-robin stripe
+    i, i+S, ... of the S*cap pooled lanes — an equal statistical mix of
+    every shard's tail, so all shards finish together. Each migrated
+    lane's RNG base is REBUILT from its pixel id (draws depend only on
+    (pixel, sample, bounce)) and its radiance accumulator rides along
+    as a running total, so the image is bit-identical per lane to the
+    unbalanced render; finished lanes return to their owner by a second
+    (origin-id, acc) all_gather + scatter.
+
+    Returns acc-mean f32[n_local, 3]; with report_iters=True also an
+    i32[1] per-shard count of post-rebalance drain iterations (the
+    balance metric: max/mean over shards ≤ ~1.1 when the rebalance
+    works)."""
+    spp = cfg.spp if spp is None else spp
+    n = px.shape[0]
+    use_fused = isect.fused_trace_available(scene, n)
+    make_body = _wavefront_body_maker(scene, cam, cfg, spp, sample_offset,
+                                      use_fused)
+    pkeys = _lane_pkeys(cfg, key, px, py)
+    rank = jax.lax.axis_index(axis)
+
+    def n_pending(state):
+        return jnp.sum((state["active"] | (state["sample"] < spp))
+                       .astype(jnp.int32))
+
+    state = {
+        "origins": jnp.zeros((n, 3), jnp.float32),
+        "dirs": jnp.ones((n, 3), jnp.float32),
+        "throughput": jnp.ones((n, 3), jnp.float32),
+        "bounce": jnp.zeros((n,), jnp.int32),
+        "sample": jnp.zeros((n,), jnp.int32),
+        "active": jnp.zeros((n,), bool),
+        "acc": jnp.zeros((n, 3), jnp.float32),
+    }
+
+    gran = 1024 if use_fused else 8
+    floor_cap = isect.PACKET_MIN_RAYS if use_fused else gran
+    cap = max(-(-max(n // int(rebalance_div), 1) // gran) * gran, floor_cap)
+    cap = min(cap, n)
+
+    # Phase 1: independent local wavefront down to `cap` pending lanes,
+    # running the SAME compaction cascade as the plain path for the
+    # stages above `cap` (without it, the pre-rebalance drain sweeps
+    # full-size buffers that the plain path has already shrunk —
+    # measured ~20% slower overall on the CPU mesh).
+    caps1 = []
+    for div in cfg.drain_cascade:
+        c = max(-(-max(n // int(div), 1) // gran) * gran, floor_cap)
+        if cap < c < n and (not caps1 or c < caps1[-1]):
+            caps1.append(c)
+
+    first_limit = caps1[0] if caps1 else cap
+    state = jax.lax.while_loop(
+        lambda s: n_pending(s) > first_limit, make_body(px, py, pkeys), state)
+
+    def compact(state, px_a, py_a, size, limit, body_maker):
+        """One cascade stage: pack pending lanes of `state` into a
+        `size`-lane buffer and drain it to `limit` pending. Returns
+        (packed state, idx into the source buffer, packed px/py)."""
+        n_src = px_a.shape[0]
+        pend = state["active"] | (state["sample"] < spp)
+        idx = jnp.nonzero(pend, size=size, fill_value=n_src)[0].astype(jnp.int32)
+        valid = idx < n_src
+        idx = jnp.where(valid, idx, n_src + jnp.arange(size, dtype=jnp.int32))
+        gi = jnp.minimum(idx, n_src - 1)
+        cstate = {k: state[k][gi] for k in state}
+        cstate["active"] = cstate["active"] & valid
+        cstate["sample"] = jnp.where(valid, cstate["sample"], spp)
+        cpx, cpy = px_a[gi], py_a[gi]
+        cbody = body_maker(cpx, cpy, _lane_pkeys(cfg, key, cpx, cpy))
+        cstate = jax.lax.while_loop(
+            lambda s: n_pending(s) > limit, cbody, cstate)
+        return cstate, idx, valid, cpx, cpy
+
+    for i, c in enumerate(caps1):
+        nxt = caps1[i + 1] if i + 1 < len(caps1) else cap
+        cstate, idx, _, _, _ = compact(state, px, py, c, nxt, make_body)
+        for k in state:
+            state[k] = state[k].at[idx].set(
+                cstate[k], mode="drop", unique_indices=True)
+
+    # Compact the pending tail into the fixed-size migration buffer.
+    pend = state["active"] | (state["sample"] < spp)
+    idx = jnp.nonzero(pend, size=cap, fill_value=n)[0].astype(jnp.int32)
+    valid = idx < n
+    idx = jnp.where(valid, idx, n + jnp.arange(cap, dtype=jnp.int32))
+    gi = jnp.minimum(idx, n - 1)
+    bundle = {k: state[k][gi] for k in state}
+    bundle["active"] = bundle["active"] & valid
+    bundle["sample"] = jnp.where(valid, bundle["sample"], spp)
+    bundle["px"] = px[gi]
+    bundle["py"] = py[gi]
+    bundle["origin"] = jnp.where(valid, rank * n + jnp.minimum(idx, n - 1),
+                                 jnp.int32(-1))
+
+    # Pool every shard's tail and take this shard's round-robin stripe.
+    pooled = jax.lax.all_gather(bundle, axis)          # leading dim S
+    flat = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_shards * cap,) + x.shape[2:]), pooled)
+    take = rank + n_shards * jnp.arange(cap, dtype=jnp.int32)
+    stripe = jax.tree_util.tree_map(lambda x: x[take], flat)
+
+    spx, spy = stripe.pop("px"), stripe.pop("py")
+    origin = stripe.pop("origin")
+    spk = _lane_pkeys(cfg, key, spx, spy)
+    sbody = make_body(spx, spy, spk)
+
+    def drain_cond(c):
+        return n_pending(c[0]) > 0
+
+    def drain_body(c):
+        s, it = c
+        return sbody(s), it + 1
+
+    stripe, iters = jax.lax.while_loop(drain_cond, drain_body,
+                                       (stripe, jnp.int32(0)))
+
+    # Return finished accumulators to their owning shard/lane.
+    results = jax.lax.all_gather({"origin": origin, "acc": stripe["acc"]},
+                                 axis)
+    r_origin = results["origin"].reshape(-1)
+    r_acc = results["acc"].reshape(-1, 3)
+    mine = (r_origin >= rank * n) & (r_origin < (rank + 1) * n)
+    m = n_shards * cap
+    tgt = jnp.where(mine, r_origin - rank * n,
+                    n + jnp.arange(m, dtype=jnp.int32))
+    acc = state["acc"].at[tgt].set(r_acc, mode="drop", unique_indices=True)
+    rgb = acc / jnp.float32(spp)
+    if report_iters:
+        return rgb, iters[None]
+    return rgb
 
 
 def _tiled_pixel_grid(cfg: RenderConfig):

@@ -179,6 +179,70 @@ def render_image_wavefront_sharded(
     return rgb[inv].reshape(cfg.height, cfg.width, 3)
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh", "spp", "rebalance_div",
+                                   "report_iters"))
+def _render_sharded_wavefront_rebalanced(scene, cam, px, py, cfg, key, mesh,
+                                         spp, rebalance_div, report_iters):
+    from raytracer_tpu.models.wavefront import (
+        render_pixels_wavefront_rebalanced)
+
+    n_shards = mesh.devices.size
+
+    def local_render(scene, cam, px, py, key):
+        return render_pixels_wavefront_rebalanced(
+            scene, cam, px, py, cfg, key, RAY_AXIS, n_shards, spp=spp,
+            rebalance_div=rebalance_div, report_iters=report_iters)
+
+    return shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS)) if report_iters else P(RAY_AXIS),
+        check_vma=False,
+    )(scene, cam, px, py, key)
+
+
+def render_image_wavefront_rebalanced(
+    scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    key: jax.Array,
+    mesh: Mesh | None = None,
+    spp: int | None = None,
+    interleave: bool = True,
+    rebalance_div: int = 8,
+    report_iters: bool = False,
+):
+    """Sharded wavefront render with the CROSS-SHARD DRAIN REBALANCE
+    (models/wavefront.render_pixels_wavefront_rebalanced): once the
+    per-shard tails shrink, pending lanes are pooled over ICI and
+    re-striped so every shard drains an equal mix. Bit-identical per
+    pixel to the unbalanced render (pixel-keyed RNG; running-total acc
+    migration). With report_iters=True also returns the per-shard
+    post-rebalance drain iteration counts i32[n_shards] — max/mean of
+    which is the balance metric (DRAIN_REBALANCE_r04.json)."""
+    from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+
+    mesh = make_mesh() if mesh is None else mesh
+    n_shards = mesh.devices.size
+    px, py, inv = _tiled_pixel_grid(cfg)
+    if px.shape[0] % n_shards:
+        raise ValueError(
+            f"tile-lane count {px.shape[0]} not divisible by mesh size "
+            f"{n_shards}")
+    unperm = None
+    if interleave:
+        px, py, unperm = _interleave_packets(px, py, n_shards)
+    out = _render_sharded_wavefront_rebalanced(
+        scene, cam, px, py, cfg, key, mesh, spp or cfg.spp, rebalance_div,
+        report_iters)
+    rgb, iters = out if report_iters else (out, None)
+    if unperm is not None:
+        rgb = rgb[unperm]
+    img = rgb[inv].reshape(cfg.height, cfg.width, 3)
+    return (img, iters) if report_iters else img
+
+
 @partial(jax.jit, static_argnames=("cfg", "mesh", "spp"))
 def _render_sharded_fused(scene, cam, px, py, cfg, key, mesh, spp):
     from raytracer_tpu.ops.pallas_megakernel import render_tiles_fused

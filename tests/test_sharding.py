@@ -137,6 +137,28 @@ def test_sharded_wavefront_interleave_active(scene):
     np.testing.assert_allclose(single, contig, rtol=0, atol=5e-7)
 
 
+def test_rebalanced_drain_matches_single_device(scene):
+    """Cross-shard drain rebalancing (VERDICT r3 next #7): pending lanes
+    pool over the mesh and re-stripe, so the image must still equal the
+    single-device wavefront (pixel-keyed RNG + running-total acc
+    migration make the migration invisible), and the per-shard
+    post-rebalance drain iteration counts must come back finite."""
+    from raytracer_tpu.models.wavefront import render_image_wavefront
+    from raytracer_tpu.parallel.sharding import (
+        render_image_wavefront_rebalanced)
+
+    cfg = RenderConfig(width=128, height=64, spp=2, max_bounces=6)
+    key = jax.random.key(9)
+    single = np.asarray(render_image_wavefront(scene, _cam(cfg), cfg, key))
+    reb, iters = render_image_wavefront_rebalanced(
+        scene, _cam(cfg), cfg, key, mesh=make_mesh(), rebalance_div=8,
+        report_iters=True)
+    np.testing.assert_allclose(single, np.asarray(reb), rtol=0, atol=5e-7)
+    it = np.asarray(iters)
+    assert it.shape == (8,)
+    assert (it >= 0).all() and (it < cfg.spp * cfg.max_bounces + 8).all()
+
+
 def test_scaling_report_efficiency_normalization(scene):
     """scaling_report efficiency is ALWAYS normalized to the 1-device
     run — even when the caller's count list starts at 2, the 1-device row
