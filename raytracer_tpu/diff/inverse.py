@@ -53,6 +53,33 @@ def _apply_params(scene: Scene, params: dict) -> Scene:
     return scene.replace(materials=Materials(**kw))
 
 
+def apply_domains(params: dict, reflect: bool = False) -> dict:
+    """Map each field into its render domain (same rules as
+    _apply_params). A raw value OUTSIDE the domain renders as the
+    boundary but has ZERO gradient through the clip, freezing the
+    parameter forever — the r4 roughness-stuck bug: the init noise sent
+    the mirror's roughness to −0.19, which rendered as the TRUE value 0
+    while the reported raw error stayed 0.189 for 300 steps. Used on
+    noised inits (reflect=True: fold at the lower bound so the
+    perturbation stays inside the domain but AWAY from a boundary
+    truth) and on recovered params before error reporting (clip: the
+    clipped value is what actually renders)."""
+    out = dict(params)
+
+    def lo_map(x, lo):
+        return lo + jnp.abs(x - lo) if reflect else jnp.maximum(x, lo)
+
+    if "albedo" in out:
+        out["albedo"] = jnp.minimum(lo_map(out["albedo"], 0.0), 1.0)
+    if "roughness" in out:
+        out["roughness"] = jnp.minimum(lo_map(out["roughness"], 0.0), 1.0)
+    if "emission" in out:
+        out["emission"] = lo_map(out["emission"], 0.0)
+    if "ior" in out:
+        out["ior"] = jnp.minimum(lo_map(out["ior"], 1.0), 3.0)
+    return out
+
+
 def init_params(scene: Scene, fields=DEFAULT_FIELDS, key=None, noise: float = 0.0) -> dict:
     params = {f: scene.materials.__dict__[f] for f in fields}
     if key is not None and noise > 0.0:
@@ -60,6 +87,7 @@ def init_params(scene: Scene, fields=DEFAULT_FIELDS, key=None, noise: float = 0.
         keys = jax.random.split(key, len(leaves))
         leaves = [l + noise * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)]
         params = jax.tree_util.tree_unflatten(treedef, leaves)
+        params = apply_domains(params, reflect=True)
     return params
 
 

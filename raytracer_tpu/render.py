@@ -126,10 +126,14 @@ def iter_spp_accumulation(scene, cam, cfg: RenderConfig, key,
             s = min(spp_step, cfg.spp - done)
             # Draws are keyed by ABSOLUTE sample index (sample_offset),
             # so batched accumulation reproduces the single-pass image.
+            # Dispatch size scales inversely with the batch spp so each
+            # device dispatch stays ~3 s (the tunnel-wedge threshold)
+            # regardless of spp_per_pass.
+            hc = max(256, HOST_CHUNK_PACKETS * 8 // max(s, 1))
             mean = np.asarray(render_tiles_fused(
                 scene, cam, cfg, key, px, py, spp=s,
                 sample_offset=done,
-                host_chunk_packets=HOST_CHUNK_PACKETS))[inv_np]
+                host_chunk_packets=hc))[inv_np]
             done += s
             yield done, mean.reshape(h, w, 3) * s
     elif integrator == "wavefront":

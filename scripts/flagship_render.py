@@ -35,7 +35,7 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "assets/showcase_2k.png"
     ckpt = sys.argv[3] if len(sys.argv) > 3 else "/tmp/flagship_ckpt.npz"
     cfg = RenderConfig(width=2560, height=1440, spp=spp, max_bounces=20,
-                       spp_per_pass=8, rng_impl="ktf")
+                       spp_per_pass=16, rng_impl="ktf")
     scene = reference_scene(assets_dir="assets/models", build_bvh=True)
     jax.block_until_ready(scene.bvh4.bounds)
     cam = showcase_camera(cfg)

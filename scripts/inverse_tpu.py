@@ -43,6 +43,9 @@ def field_errors(scene, params):
     shading never reads a lambertian's roughness, a non-light's emission
     or a dielectric/light's albedo, so those entries have zero gradient
     by construction and would dilute the recovery metric."""
+    from raytracer_tpu.diff import inverse
+
+    params = inverse.apply_domains(params)  # the values that render
     t = np.asarray(scene.materials.type)
     used = {"albedo": (t == 0) | (t == 1), "roughness": t == 1,
             "emission": t == 3}
