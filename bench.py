@@ -127,7 +127,10 @@ def worker(backend: str) -> int:
     fails = 0
     m = 0.0
     i = 0
-    while len(times) < 3 and i < 6:
+    # Best-of-4: tunnel dispatch latency has multi-second slow PHASES
+    # (same program measured 8.2-10.5 s across one session); extra
+    # samples keep the reported best from landing on a slow phase.
+    while len(times) < 4 and i < 8:
         i += 1
         try:
             t0 = time.perf_counter()

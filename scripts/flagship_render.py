@@ -79,11 +79,11 @@ def main():
         "camera_rays": cfg.width * cfg.height * spp,
         "mean_rgb": round(float(linear.mean()), 5),
         "platform": jax.devices()[0].platform,
-        "note": "resumable 8-spp batches via io/checkpoint.render_image_"
+        "note": "resumable 16-spp batches via io/checkpoint.render_image_"
                 "resumable; wall_s_this_run excludes any prior resumed "
                 "batches",
     }
-    with open("FLAGSHIP_r03.json", "w") as f:
+    with open("FLAGSHIP_r04.json", "w") as f:
         json.dump(stats, f, indent=1)
     print(json.dumps(stats))
 
