@@ -77,6 +77,11 @@ STACK_CAP = 256  # SMEM entries (1 KB); build asserts stack_depth <= this
 import os as _os
 
 LEAF_COND = _os.environ.get("RAYTRACER_TPU_LEAF_COND", "1") != "0"
+# Software-pipelined node fetch: load iteration i+1's node rows at the
+# END of iteration i (right after the scalar phase decides the next
+# tasks) and carry them, so the slab phase never waits on row-load
+# latency. Same loads from the same task ids — results identical.
+PREFETCH = _os.environ.get("RAYTRACER_TPU_PREFETCH", "0") != "0"
 # Tri-row sweeps per iteration (1 or 2). 2 cuts lockstep iterations 18%
 # but measures slower on-chip (see traverse_tile); default 1.
 LEAF_ROWS = int(_os.environ.get("RAYTRACER_TPU_LEAF_ROWS", "1"))
@@ -403,14 +408,17 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
         return (carry[0] > 0) & (carry[1] > 0)
 
     def body(carry):
+        base8 = 8 + (1 if profile else 0)
         if profile:
             (iters_left, n_alive, t_best, best, mat, nx, ny, nz,
-             citer) = carry
+             citer) = carry[:9]
         else:
-            iters_left, n_alive, t_best, best, mat, nx, ny, nz = carry
+            iters_left, n_alive, t_best, best, mat, nx, ny, nz = carry[:8]
 
         # ---- Fetch: one node row (internal unit, row id == task) and
-        # one tri row (leaf unit) per chain.
+        # one tri row (leaf unit) per chain. Under PREFETCH the node
+        # rows were loaded at the END of the previous iteration (from
+        # the same task ids) and arrive via the loop carry.
         nrecs, ntasks, ltasks, ltasksB = [], [], [], []
         any_leaf = jnp.int32(0)
         any_leafB = jnp.int32(0)
@@ -424,9 +432,13 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
                 ltB = ltaskB_ref[s]
                 ltasksB.append(ltB)
                 any_leafB += (ltB != NONE).astype(jnp.int32)
-            nrow = node_ref[pl.ds(jnp.where(nt >= 0, nt, 0), 1)]
-            nrecs.append(nrow[:, 0:7 * K])
-        nrec8 = jnp.concatenate(nrecs, axis=0)                   # (8,7K)
+            if not PREFETCH:
+                nrow = node_ref[pl.ds(jnp.where(nt >= 0, nt, 0), 1)]
+                nrecs.append(nrow[:, 0:7 * K])
+        if PREFETCH:
+            nrec8 = carry[base8]
+        else:
+            nrec8 = jnp.concatenate(nrecs, axis=0)               # (8,7K)
         ch8 = nrec8[:, 6 * K:7 * K].astype(jnp.int32)  # float-encoded (no bitcast)
 
         # ---- Leaf unit first (its t_best updates tighten the slabs).
@@ -580,6 +592,7 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
         # ---- Scalar phase per chain: push pairs, pop/consume spares.
         new_alive = jnp.int32(0)
         alive_flags = []
+        nxts = []
         for s in range(P_SUB):
             nt = ntasks[s]
             is_int = nt >= 0
@@ -708,30 +721,42 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
 
             chain_alive = (nxt != NONE) | (ltA != NONE)
             alive_flags.append(chain_alive)
+            nxts.append(nxt)
             new_alive += chain_alive.astype(jnp.int32)
 
+        out = [iters_left - 1, new_alive, t_best, best, mat, nx, ny, nz]
         if profile:
             rows = [jnp.full((1, P_LANE), af.astype(jnp.float32))
                     for af in alive_flags]
-            citer = citer + jnp.concatenate(rows, axis=0)
-            return (iters_left - 1, new_alive, t_best, best, mat, nx, ny, nz,
-                    citer)
-        return iters_left - 1, new_alive, t_best, best, mat, nx, ny, nz
+            out.append(citer + jnp.concatenate(rows, axis=0))
+        if PREFETCH:
+            # Prefetch the NEXT iteration's node rows now, right after
+            # the decisions — the loads' latency overlaps the loop
+            # back-edge and the next iteration's leaf phase instead of
+            # stalling its slab phase.
+            out.append(jnp.concatenate(
+                [node_ref[pl.ds(jnp.where(nxts[s] >= 0, nxts[s], 0), 1)][
+                    :, 0:7 * K] for s in range(P_SUB)], axis=0))
+        return tuple(out)
 
-    init = (jnp.int32(max_iters), n_alive0, t_best0, best0, mat0,
-            n0x, n0y, n0z)
+    init = [jnp.int32(max_iters), n_alive0, t_best0, best0, mat0,
+            n0x, n0y, n0z]
     if profile:
         # Seed with 1 per initially-alive chain (the first iteration's
         # work happens before the end-of-body count).
         seed = [jnp.full((1, P_LANE),
                          (alive_cnt[s, 0] > 0).astype(jnp.float32))
                 for s in range(P_SUB)]
-        init = init + (jnp.concatenate(seed, axis=0),)
-        out = jax.lax.while_loop(cond, body, init)
+        init.append(jnp.concatenate(seed, axis=0))
+    if PREFETCH:
+        # Initial tasks are row 0 (root) or NONE→row 0.
+        init.append(jnp.concatenate(
+            [node_ref[pl.ds(0, 1)][:, 0:7 * K]] * P_SUB, axis=0))
+    out = jax.lax.while_loop(cond, body, tuple(init))
+    if profile:
         return (out[2], out[3], out[4], out[5], out[6], out[7], out[8],
                 jnp.int32(max_iters) - out[0])
-    _, _, t_best, best, mat, nx, ny, nz = jax.lax.while_loop(cond, body, init)
-    return t_best, best, mat, nx, ny, nz
+    return out[2], out[3], out[4], out[5], out[6], out[7]
 
 
 def traverse_tiles(t_min, stack_cap, zero_row, max_iters, n_children,

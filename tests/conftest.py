@@ -62,3 +62,17 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if any(s in item.nodeid for s in _SLOW_IDS):
             item.add_marker(pytest.mark.slow)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The 2026-08 jaxlib's CPU backend segfaults inside
+    backend_compile_and_load once a single process has accumulated
+    ~90+ compiled programs (reproducible at the same suite position,
+    passes in isolation — an LLVM JIT state bug, not a test bug).
+    Dropping the jit caches between modules keeps the live-program
+    count bounded; per-module recompiles cost seconds."""
+    yield
+    import jax
+
+    jax.clear_caches()
