@@ -23,7 +23,23 @@ from raytracer_tpu.scene.types import Scene
 # ~2.8 s per dispatch at current 2K throughput; measured overhead vs one
 # 8.2 s dispatch is ~1% (chunk probe: None=8.17s, 1200=8.25s, 900=8.41s)
 # while keeping every dispatch under the tunnel's ~3 s wedge threshold.
+# CALIBRATED AT spp=8: dispatch time scales with packets*spp, so callers
+# must scale the packet count inversely with the dispatch spp
+# (_chunk_for_spp) — a fixed 1200 at spp=64 would be a ~22 s dispatch,
+# far past the wedge threshold (ADVICE r4).
 HOST_CHUNK_PACKETS = 1200
+_CHUNK_CALIB_SPP = 8          # spp at which HOST_CHUNK_PACKETS was tuned
+_CHUNK_MIN_PACKETS = 64       # keep dispatches big enough to amortize the
+                              # ~25 ms per-dispatch floor (<3% at 64)
+
+
+def _chunk_for_spp(spp: int, base: int | None = HOST_CHUNK_PACKETS):
+    """Packets per device dispatch for a dispatch tracing `spp` samples
+    per lane: holds the packets*spp product at the ~2.8 s calibration
+    point so no dispatch trips the tunnel's multi-second wedge."""
+    if base is None:
+        return None
+    return max(_CHUNK_MIN_PACKETS, base * _CHUNK_CALIB_SPP // max(int(spp), 1))
 
 
 def _fused_pixel_grid(cfg: RenderConfig):
@@ -62,7 +78,8 @@ def render_image_fused(
     if step >= spp:
         rgb = render_tiles_fused(scene, cam, cfg, key, px, py, spp=spp,
                                  interpret=interpret,
-                                 host_chunk_packets=host_chunk_packets)
+                                 host_chunk_packets=_chunk_for_spp(
+                                     spp, host_chunk_packets))
     else:
         acc = None
         done = 0
@@ -71,7 +88,8 @@ def render_image_fused(
             part = render_tiles_fused(scene, cam, cfg, key, px, py, spp=s,
                                       sample_offset=done,
                                       interpret=interpret,
-                                      host_chunk_packets=host_chunk_packets
+                                      host_chunk_packets=_chunk_for_spp(
+                                          s, host_chunk_packets)
                                       ) * (s / spp)
             acc = part if acc is None else acc + part
             done += s

@@ -116,7 +116,7 @@ def iter_spp_accumulation(scene, cam, cfg: RenderConfig, key,
     h, w = cfg.height, cfg.width
     done = start_done
     if integrator == "fused":
-        from raytracer_tpu.models.fused import (HOST_CHUNK_PACKETS,
+        from raytracer_tpu.models.fused import (_chunk_for_spp,
                                                 _fused_pixel_grid)
         from raytracer_tpu.ops.pallas_megakernel import render_tiles_fused
 
@@ -128,8 +128,11 @@ def iter_spp_accumulation(scene, cam, cfg: RenderConfig, key,
             # so batched accumulation reproduces the single-pass image.
             # Dispatch size scales inversely with the batch spp so each
             # device dispatch stays ~3 s (the tunnel-wedge threshold)
-            # regardless of spp_per_pass.
-            hc = max(256, HOST_CHUNK_PACKETS * 8 // max(s, 1))
+            # regardless of spp_per_pass. The floor is the shared
+            # 64-packet dispatch-efficiency floor (64 packets x 64 spp
+            # is still well under the calibration product — the old
+            # fixed 256-packet floor re-broke the bound above spp~37).
+            hc = _chunk_for_spp(s)
             mean = np.asarray(render_tiles_fused(
                 scene, cam, cfg, key, px, py, spp=s,
                 sample_offset=done,

@@ -101,6 +101,22 @@ def fit_light_rect(mesh: TriMesh, materials: Materials):
     f0 = faces[light_faces[0]]
     n = np.cross(verts[f0[1]] - verts[f0[0]], verts[f0[2]] - verts[f0[0]])
     n = n / max(np.linalg.norm(n), 1e-12)
+    # Single-rectangle fit is only sound for one planar emitter: pooling
+    # disjoint / non-coplanar DIFFUSE_LIGHT faces would aim the
+    # edge-aware gradient term at a fictitious light (forward stays
+    # bit-identical either way — the term is exactly zero there). Guard:
+    # every light vertex must lie on the first face's plane to within
+    # 1e-3 of the emitter's extent (ADVICE r4).
+    plane_res = np.abs((pts - center) @ n).max()
+    extent = max(float(np.linalg.norm(pts - center, axis=1).max()), 1e-12)
+    if plane_res > 1e-3 * extent:
+        import warnings
+
+        warnings.warn(
+            "fit_light_rect: DIFFUSE_LIGHT faces are not coplanar "
+            f"(plane residual {plane_res:.2e} vs extent {extent:.2e}); "
+            "disabling the edge-aware light rectangle for this scene")
+        return None
     d = pts - center
     d = d - np.outer(d @ n, n)
     _, v = np.linalg.eigh(d.T @ d)

@@ -42,6 +42,16 @@ def host_cpu_device():
     try:
         return jax.local_devices(backend="cpu")[0]
     except Exception:
+        # Losing the host-CPU fast path means every eager scene-build op
+        # compiles through the TPU tunnel (~45 s each when the compile
+        # service is cold; the r3 bench timeouts were exactly this) —
+        # never lose it silently (ADVICE r4).
+        import warnings
+
+        warnings.warn(
+            "hostbuild: no CPU backend available — scene builds will run "
+            "through the default (tunnel) device, which can cost minutes "
+            "of eager compiles when the compile cache is cold")
         return None
 
 
