@@ -53,9 +53,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.ops.bvh4 import Bvh4
+from raytracer_tpu.ops.pallas_interleave import traverse_tiles
 from raytracer_tpu.ops.pallas_traverse import (
     BIG, P_LANE, P_SUB, PACKET, STACK_CAP, TRI_STRIDE,
-    _pack_tables_v6, hoist_invariants, traverse_tile, traverse_tiles)
+    _pack_tables_v6, hoist_invariants, traverse_tile)
 from raytracer_tpu.utils import ktf
 
 MAX_SPHERES = 16    # 8 lanes each in one (1,128) row
@@ -66,7 +67,7 @@ MAX_PACKETS_PER_MEGA_CALL = 128  # bounds single-dispatch wall time
 def _default_interleave() -> int:
     """Packets per merged path loop (1 or 2). G=2 interleaves two
     packets' traversal latency chains in one while loop
-    (pallas_traverse.traverse_tiles). Overridable for A/B studies via
+    (ops/pallas_interleave.traverse_tiles). Overridable for A/B studies via
     RAYTRACER_TPU_INTERLEAVE."""
     import os
 
@@ -139,7 +140,7 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                cam_ref, sph_ref, mat_ref,
                ax_ref, ay_ref, az_ref, cost_ref, aux_ref,
                ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref, lstack_ref,
-               ispare_ref, lspare_ref, ltaskB_ref):
+               ispare_ref, lspare_ref):
         # cost_ref/aux_ref are None unless profile=True (the production
         # kernel declares only the 3 radiance outputs).
         K = n_children
@@ -498,7 +499,7 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                     *rays,
                     ntask_ref, sp_ref, ltask_ref, lsp_ref,
                     stack_ref, lstack_ref, ispare_ref, lspare_ref,
-                    ltaskB_ref, profile=profile)
+                    profile=profile)
                 if profile:
                     # Per-lane cost proxy: the lane's chain's traversal
                     # iterations plus one for the path-loop body itself
@@ -593,12 +594,12 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
         cost_ref, aux_ref = (maybe_profile_refs if profile else (None, None))
 
         def scoped(ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref,
-                   lstack_ref, ispare_ref, lspare_ref, ltaskB_ref):
+                   lstack_ref, ispare_ref, lspare_ref):
             kernel(sc_ref, node_ref, tri_ref, pix_ref, pxf_ref, pyf_ref,
                    cam_ref, sph_ref, mat_ref, ax_ref, ay_ref, az_ref,
                    cost_ref, aux_ref,
                    ntask_ref, sp_ref, ltask_ref, lsp_ref, stack_ref,
-                   lstack_ref, ispare_ref, lspare_ref, ltaskB_ref)
+                   lstack_ref, ispare_ref, lspare_ref)
 
         nc = interleave * P_SUB  # chains (traverse_tiles uses G*P_SUB)
         pl.run_scoped(scoped,
@@ -608,7 +609,6 @@ def _make_mega_kernel(cfg_static: dict, n_packets: int, stack_cap: int,
                       pltpu.SMEM((nc,), jnp.int32),
                       pltpu.SMEM((nc * stack_cap,), jnp.int32),
                       pltpu.SMEM((nc * stack_cap,), jnp.int32),
-                      pltpu.SMEM((nc,), jnp.int32),
                       pltpu.SMEM((nc,), jnp.int32),
                       pltpu.SMEM((nc,), jnp.int32))
 

@@ -1,6 +1,18 @@
-"""Profile-guided pixel scheduling for the fused megakernel.
+"""Pixel-lane layouts for the fused megakernel, plus the (retired)
+profile-guided scheduler.
 
-WHY: a fused-kernel packet locksteps its 8 sub-warp chains through the
+STATUS (round 5): `blocked_pixel_grid` is PRODUCTION — the 32×32-block
+packet footprint layout the fused path renders with (+4%,
+TILE_SHAPE_STUDY.json). The profile-guided reordering below it
+(`order_by_cost` / `order_by_row_cost` / `build_schedule`) is a
+RECORDED DEAD END (≤2% recovered — SCHEDULE_STUDY.json: the lockstep
+max is per-call transient randomness from bounce-direction draws, not
+a static pixel property) and is NOT wired into any production path; it
+is kept because it is the vehicle for the any-permutation-is-bit-
+identical invariant test (tests/test_schedule.py) and for
+scripts/schedule_study.py's negative result.
+
+WHY scheduling looked promising: a fused-kernel packet locksteps its 8 sub-warp chains through the
 traversal loop (cost = MAX over chains) and its 1024 lanes through the
 path loop (cost = iterations until the LAST lane finishes its samples).
 Measured on bvh8 bounce rays, the packet max is 65.9 lockstep

@@ -139,7 +139,7 @@ def test_fused_blocked_grid_matches_strip_grid(scene):
 
 
 def test_fused_interleave2_matches_single(scene):
-    """G=2 merged path loops (pallas_traverse.traverse_tiles): two
+    """G=2 merged path loops (pallas_interleave.traverse_tiles): two
     packets share one while loop with cond-gated per-tile steps. Chain
     decisions depend only on chain state, so per-packet results must
     equal the G=1 kernel EXACTLY — including an odd trailing packet
