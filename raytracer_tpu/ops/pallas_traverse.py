@@ -77,6 +77,24 @@ STACK_CAP = 256  # SMEM entries (1 KB); build asserts stack_depth <= this
 import os as _os
 
 LEAF_COND = _os.environ.get("RAYTRACER_TPU_LEAF_COND", "1") != "0"
+# VECTOR-STACK mode: the per-chain stacks/tasks/spares live in VREG
+# loop carries — an (8,128) i32 "pointer stack" per unit (bottom at
+# lane 0; pushes write through `lane == position` masks, pops read via
+# a masked lane-reduction) — and the whole push/pop/descend decision
+# phase runs as (8,1)-column vector ops for all 8 chains at once.
+# WHY TRIED: scripts/kernel_ablate_v8.py measures the per-chain SCALAR
+# phase at 0.79 us of a 1.85 us serialized iteration (43%) — dominated
+# by the ~100 vreg->scalar sublane extracts + SMEM stores; the vector
+# form needs only the 16 row-load index extracts. Decision stream is
+# IDENTICAL to the SMEM form (same formulas per chain), so traversal
+# order and results are bit-exact across the two modes.
+# MEASURED (round 5): on-chip 2K spp8/mb20 = 8.91 s vs 8.80 s SMEM —
+# PARITY. Conclusion: in the real (while_loop) kernel the scalar phase
+# overlaps under the fetch->slab->reduce->decide latency chain, so
+# removing its issue slots buys nothing; the ablation harness's
+# serialized fori body overstated it. Kept default-OFF as a recorded
+# experiment (flip with RAYTRACER_TPU_VSTACK=1; equality-tested).
+VSTACK = _os.environ.get("RAYTRACER_TPU_VSTACK", "0") != "0"
 # Retired default-off machinery (round-5 kernel diet; re-derivable from
 # git history if a new scene changes the verdict):
 #   * PREFETCH (software-pipelined node fetch): measured a no-op — the
@@ -379,16 +397,25 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
                    root_hi[0], root_hi[1], root_hi[2], t_best0)
     alive_cnt = jnp.sum(rhit.astype(jnp.int32), axis=1, keepdims=True)  # (8,1)
 
-    n_alive0 = jnp.int32(0)
-    for s in range(P_SUB):
-        t0s = jnp.where(alive_cnt[s, 0] > 0, jnp.int32(0), NONE)
-        ntask_ref[s] = t0s
-        sp_ref[s] = jnp.int32(0)
-        ltask_ref[s] = NONE  # leaf unit idle (reads the zero row)
-        lsp_ref[s] = jnp.int32(0)
-        ispare_ref[s] = SPARE_NONE
-        lspare_ref[s] = SPARE_NONE
-        n_alive0 += (t0s != NONE).astype(jnp.int32)
+    if VSTACK:
+        zero_col_i = jnp.zeros((P_SUB, 1), jnp.int32)
+        ntask0 = jnp.where(alive_cnt > 0, jnp.int32(0), NONE)    # (8,1)
+        ltask0 = jnp.full((P_SUB, 1), NONE, jnp.int32)
+        spare0 = jnp.full((P_SUB, 1), SPARE_NONE, jnp.int32)
+        stk0 = jnp.zeros((P_SUB, P_LANE), jnp.int32)
+        n_alive0 = jnp.sum((ntask0 != NONE).astype(jnp.int32))
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (P_SUB, P_LANE), 1)
+    else:
+        n_alive0 = jnp.int32(0)
+        for s in range(P_SUB):
+            t0s = jnp.where(alive_cnt[s, 0] > 0, jnp.int32(0), NONE)
+            ntask_ref[s] = t0s
+            sp_ref[s] = jnp.int32(0)
+            ltask_ref[s] = NONE  # leaf unit idle (reads the zero row)
+            lsp_ref[s] = jnp.int32(0)
+            ispare_ref[s] = SPARE_NONE
+            lspare_ref[s] = SPARE_NONE
+            n_alive0 += (t0s != NONE).astype(jnp.int32)
 
     # The loop cond ALSO counts down from a static bound that no real
     # traversal can reach (each tree node is visited at most once per
@@ -404,24 +431,36 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
         return (carry[0] > 0) & (carry[1] > 0)
 
     def body(carry):
+        nbase = 9 if profile else 8
         if profile:
             (iters_left, n_alive, t_best, best, mat, nx, ny, nz,
              citer) = carry[:9]
         else:
             iters_left, n_alive, t_best, best, mat, nx, ny, nz = carry[:8]
+        if VSTACK:
+            (ntaskC, spC, ispareC, S_i,
+             ltaskC, lspC, lspareC, S_l) = carry[nbase:nbase + 8]
 
         # ---- Fetch: one node row (internal unit, row id == task) and
         # one tri row (leaf unit) per chain.
-        nrecs, ntasks, ltasks = [], [], []
-        any_leaf = jnp.int32(0)
-        for s in range(P_SUB):
-            nt = ntask_ref[s]
-            lt = ltask_ref[s]
-            ntasks.append(nt)
-            ltasks.append(lt)
-            any_leaf += (lt != NONE).astype(jnp.int32)
-            nrow = node_ref[pl.ds(jnp.where(nt >= 0, nt, 0), 1)]
-            nrecs.append(nrow[:, 0:7 * K])
+        if VSTACK:
+            ntask_safe = jnp.maximum(ntaskC, 0)                  # (8,1)
+            ltask_safe = jnp.where(ltaskC >= 0, ltaskC, zero_row)
+            ltasks = [ltask_safe[s, 0] for s in range(P_SUB)]
+            any_leaf = jnp.sum((ltaskC != NONE).astype(jnp.int32))
+            nrecs = [node_ref[pl.ds(ntask_safe[s, 0], 1)][:, 0:7 * K]
+                     for s in range(P_SUB)]
+        else:
+            nrecs, ntasks, ltasks = [], [], []
+            any_leaf = jnp.int32(0)
+            for s in range(P_SUB):
+                nt = ntask_ref[s]
+                lt = ltask_ref[s]
+                ntasks.append(nt)
+                ltasks.append(lt)
+                any_leaf += (lt != NONE).astype(jnp.int32)
+                nrow = node_ref[pl.ds(jnp.where(nt >= 0, nt, 0), 1)]
+                nrecs.append(nrow[:, 0:7 * K])
         nrec8 = jnp.concatenate(nrecs, axis=0)                   # (8,7K)
         ch8 = nrec8[:, 6 * K:7 * K].astype(jnp.int32)  # float-encoded (no bitcast)
 
@@ -554,6 +593,82 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
             return jnp.bitwise_or(
                 jnp.bitwise_and(jnp.right_shift(x, 16), EMPTY16), SPARE_HIGH)
 
+        if VSTACK:
+            # ---- VECTOR decision phase: the same per-chain formulas as
+            # the scalar branch below, expressed once on (8,1) columns.
+            # Stack pushes write through `lane == position` masks into
+            # the (8,128) pointer stacks (positions past the clamp or
+            # with nothing to push compare as -1 → no lane matches → a
+            # no-op, the masked analog of the scalar junk-above-top
+            # discipline); pops read back via one masked lane-reduction.
+            stallC = lspC >= stack_cap - 4 - K
+            is_intC = (ntaskC >= 0) & ~stallC
+            nh_i = jnp.where(is_intC, n_int, 0)
+            nh_l = jnp.where(is_intC, n_leaf, 0)
+
+            # Internal unit.
+            has_spare = low16(ispareC) != EMPTY16
+            ne = nh_i >> 1
+            spare_push = has_spare & (ne > 0)
+            pos = jnp.where(spare_push, spC, -1)
+            S_i = jnp.where(lane_i == pos, ispareC, S_i)
+            sp_eff = spC + spare_push.astype(jnp.int32)
+            for pe in range(n_pairs):
+                pos = jnp.where(pe < ne, sp_eff + (ne - 1 - pe), -1)
+                S_i = jnp.where(lane_i == pos, pair_i[pe], S_i)
+            new_sp = jnp.minimum(sp_eff + ne, stack_cap - 4)
+            desc = jnp.where(nh_i > 0, ci[0], NONE)
+            spare1 = jnp.where(spare_push, SPARE_NONE, ispareC)
+            has_spare1 = has_spare & ~spare_push
+            live = ~stallC & (desc == NONE) & (ntaskC != NONE)
+            use_spare = live & has_spare1
+            do_pop = live & ~has_spare1 & (new_sp > 0)
+            popped = jnp.sum(jnp.where(lane_i == new_sp - 1, S_i, 0),
+                             axis=1, keepdims=True)
+            nxt = jnp.where(stallC, ntaskC,
+                  jnp.where(desc != NONE, desc,
+                  jnp.where(use_spare, low16(spare1),
+                  jnp.where(do_pop, low16(popped), NONE))))
+            ispareC = jnp.where(use_spare, consume(spare1),
+                      jnp.where(do_pop, consume(popped), spare1))
+            ntaskC = nxt
+            spC = jnp.where(do_pop, new_sp - 1, new_sp)
+
+            # Leaf unit.
+            l_has = low16(lspareC) != EMPTY16
+            nle = nh_l >> 1
+            l_spush = l_has & (nle > 0)
+            pos = jnp.where(l_spush, lspC, -1)
+            S_l = jnp.where(lane_i == pos, lspareC, S_l)
+            lsp_eff = lspC + l_spush.astype(jnp.int32)
+            for pe in range(n_pairs_l):
+                pos = jnp.where(pe < nle, lsp_eff + (nle - 1 - pe), -1)
+                S_l = jnp.where(lane_i == pos, pair_l[pe], S_l)
+            new_lsp = jnp.minimum(lsp_eff + nle, stack_cap - 4)
+            lt0 = jnp.where(nh_l > 0, lA_col, NONE)
+            lspare1 = jnp.where(l_spush, SPARE_NONE, lspareC)
+            l_has1 = l_has & ~l_spush
+            l_use = (lt0 == NONE) & l_has1
+            l_pop = (lt0 == NONE) & ~l_has1 & (new_lsp > 0)
+            l_popped = jnp.sum(jnp.where(lane_i == new_lsp - 1, S_l, 0),
+                               axis=1, keepdims=True)
+            ltA = jnp.where(lt0 != NONE, lt0,
+                  jnp.where(l_use, low16(lspare1),
+                  jnp.where(l_pop, low16(l_popped), NONE)))
+            lspareC = jnp.where(l_use, consume(lspare1),
+                      jnp.where(l_pop, consume(l_popped), lspare1))
+            ltaskC = ltA
+            lspC = jnp.where(l_pop, new_lsp - 1, new_lsp)
+
+            alive_col = ((ntaskC != NONE) | (ltaskC != NONE))
+            new_alive = jnp.sum(alive_col.astype(jnp.int32))
+            out = [iters_left - 1, new_alive, t_best, best, mat, nx, ny, nz]
+            if profile:
+                out.append(citer + alive_col.astype(jnp.float32))
+            out.extend([ntaskC, spC, ispareC, S_i,
+                        ltaskC, lspC, lspareC, S_l])
+            return tuple(out)
+
         # ---- Scalar phase per chain: push pairs, pop/consume spares.
         new_alive = jnp.int32(0)
         alive_flags = []
@@ -649,10 +764,20 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
     if profile:
         # Seed with 1 per initially-alive chain (the first iteration's
         # work happens before the end-of-body count).
-        seed = [jnp.full((1, P_LANE),
-                         (alive_cnt[s, 0] > 0).astype(jnp.float32))
-                for s in range(P_SUB)]
-        init.append(jnp.concatenate(seed, axis=0))
+        if VSTACK:
+            init.append((alive_cnt > 0).astype(jnp.float32)
+                        * jnp.ones((P_SUB, P_LANE), jnp.float32))
+        else:
+            seed = [jnp.full((1, P_LANE),
+                             (alive_cnt[s, 0] > 0).astype(jnp.float32))
+                    for s in range(P_SUB)]
+            init.append(jnp.concatenate(seed, axis=0))
+    if VSTACK:
+        assert stack_cap <= P_LANE, (
+            f"vector-stack capacity is {P_LANE} lanes; build stack bound "
+            f"{stack_cap} exceeds it (set RAYTRACER_TPU_VSTACK=0)")
+        init.extend([ntask0, zero_col_i, spare0, stk0,
+                     ltask0, zero_col_i, spare0, stk0])
     out = jax.lax.while_loop(cond, body, tuple(init))
     if profile:
         return (out[2], out[3], out[4], out[5], out[6], out[7], out[8],
