@@ -95,6 +95,24 @@ LEAF_COND = _os.environ.get("RAYTRACER_TPU_LEAF_COND", "1") != "0"
 # serialized fori body overstated it. Kept default-OFF as a recorded
 # experiment (flip with RAYTRACER_TPU_VSTACK=1; equality-tested).
 VSTACK = _os.environ.get("RAYTRACER_TPU_VSTACK", "0") != "0"
+# Traversal bodies per while-loop iteration (see loop_body below).
+# MEASURED (round 5): UNROLL=2 is -8% on the 2K spp2 frame (2.87 ->
+# 2.64 s) but a WASH at the spp8 bench config (8.70-8.82 s both ways;
+# UNROLL=3 slower) -- the while-loop machinery is not a significant
+# per-iteration cost at production call lengths. Default 1.
+UNROLL = int(_os.environ.get("RAYTRACER_TPU_UNROLL", "1"))
+# Skip the whole internal-unit side (8 node-row fetches, slabs, rep-key
+# reductions, the two sort networks, pair packing) on iterations where
+# EVERY chain's internal unit is dead (nt == NONE for all 8 — pure
+# leaf-drain tails). Output-invariant: with all nt == NONE the decision
+# phase ignores every internal-side input.
+# MEASURED (round 5): ~12% SLOWER on the 2K spp8 frame (9.98/10.13 s vs
+# 8.86/9.27 s) -- the cond branch + 12 materialized outputs cost more
+# than the rare all-8-chains-internal-idle iterations save (unlike
+# LEAF_COND, whose skip fires on ~25% of iterations and drops 8 row
+# loads + 8 MT sweeps). Default OFF; kept as the A/B record.
+INT_COND = _os.environ.get("RAYTRACER_TPU_INT_COND", "0") != "0"
+
 # Retired default-off machinery (round-5 kernel diet; re-derivable from
 # git history if a new scene changes the verdict):
 #   * PREFETCH (software-pipelined node fetch): measured a no-op — the
@@ -441,28 +459,37 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
             (ntaskC, spC, ispareC, S_i,
              ltaskC, lspC, lspareC, S_l) = carry[nbase:nbase + 8]
 
-        # ---- Fetch: one node row (internal unit, row id == task) and
-        # one tri row (leaf unit) per chain.
+        # ---- Task reads (node-row fetches happen inside the
+        # internal-phase block below, so INT_COND can skip them).
         if VSTACK:
             ntask_safe = jnp.maximum(ntaskC, 0)                  # (8,1)
             ltask_safe = jnp.where(ltaskC >= 0, ltaskC, zero_row)
             ltasks = [ltask_safe[s, 0] for s in range(P_SUB)]
             any_leaf = jnp.sum((ltaskC != NONE).astype(jnp.int32))
-            nrecs = [node_ref[pl.ds(ntask_safe[s, 0], 1)][:, 0:7 * K]
-                     for s in range(P_SUB)]
+            any_int = jnp.sum((ntaskC != NONE).astype(jnp.int32))
+            ntask_scalars = [ntask_safe[s, 0] for s in range(P_SUB)]
         else:
-            nrecs, ntasks, ltasks = [], [], []
+            ntasks, ltasks = [], []
             any_leaf = jnp.int32(0)
+            any_int = jnp.int32(0)
             for s in range(P_SUB):
                 nt = ntask_ref[s]
                 lt = ltask_ref[s]
                 ntasks.append(nt)
                 ltasks.append(lt)
                 any_leaf += (lt != NONE).astype(jnp.int32)
-                nrow = node_ref[pl.ds(jnp.where(nt >= 0, nt, 0), 1)]
-                nrecs.append(nrow[:, 0:7 * K])
-        nrec8 = jnp.concatenate(nrecs, axis=0)                   # (8,7K)
-        ch8 = nrec8[:, 6 * K:7 * K].astype(jnp.int32)  # float-encoded (no bitcast)
+                any_int += (nt != NONE).astype(jnp.int32)
+            ntask_scalars = [jnp.where(ntasks[s] >= 0, ntasks[s], 0)
+                             for s in range(P_SUB)]
+
+        # Node-row loads issue BEFORE the leaf block when INT_COND is
+        # off (the production default), so their latency hides under the
+        # leaf MT sweep exactly as in the pre-refactor body; the cond
+        # variant must keep them inside the branch to skip them.
+        if not INT_COND:
+            nrec8_pre = jnp.concatenate(
+                [node_ref[pl.ds(ntask_scalars[s], 1)][:, 0:7 * K]
+                 for s in range(P_SUB)], axis=0)                 # (8,7K)
 
         # ---- Leaf unit first (its t_best updates tighten the slabs).
         # Alignment-padding and zero-row records are degenerate
@@ -493,98 +520,120 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
             state = row_block(ltasks)(state0_)
         t_best, best, mat, nx, ny, nz = state
 
-        # ---- Internal unit: 4 child slabs, (8,1) bounds columns.
-        def bcol(k, j):
-            c = k * 6 + j
-            return nrec8[:, c:c + 1]                             # (8,1)
-
-        hks, reps = [], []
-        for k in range(K):
-            hk, tk = slab(bcol(k, 0), bcol(k, 1), bcol(k, 2),
-                          bcol(k, 3), bcol(k, 4), bcol(k, 5), t_best)
-            hks.append(hk)
-            # Ordering key: TRUE nearest entry-t over the sub-warp's
-            # hitting lanes (lane-axis min reduction). The previous
-            # lane-0 "representative" key ordered children by one
-            # arbitrary ray and cost 105.4 packet-lockstep iterations
-            # vs 65.4 with the true key on bvh8 bounce rays
-            # (scripts/order_study sim, key=lane0 vs key=rept) — the
-            # single largest traversal lever found in round 3.
-            reps.append(jnp.min(jnp.where(hk, tk, BIG), axis=1,
-                                keepdims=True))                  # (8,1)
-        # Only cross-lane work: K/2 LANE-axis reductions of bit-packed
-        # per-child hit counts (each count ≤ 128 fits 16 bits).
-        packs = [jnp.sum(hks[i].astype(jnp.int32)
-                         + (hks[i + 1].astype(jnp.int32) << 16),
-                         axis=1, keepdims=True)                  # (8,1)
-                 for i in range(0, K, 2)]
-
-        # ---- Vector decision prep: hit masks, entry keys, and the two
-        # kind-split sort networks run on (8,K) tiles — one instruction
-        # stream orders the children of all 8 chains at once. Empty
-        # slots carry (+inf,-inf) boxes, which the UNORDERED slab reads
-        # as tmin=-inf → "hit"; gate with the child ids.
-        anyk_cols = []
-        for p2 in packs:
-            anyk_cols.extend([p2 & 0xFFFF, p2 >> 16])
-        anyk = jnp.concatenate(anyk_cols, axis=1) > 0
-        valid = anyk & (ch8 != NONE)                             # (8,K)
-        rep4 = jnp.concatenate(reps, axis=1)                     # (8,K)
-        is_leaf4 = ch8 <= -2
-        k_int = jnp.where(valid & ~is_leaf4, rep4, BIG)
-        k_leaf = jnp.where(valid & is_leaf4, rep4, BIG)
-
-        from raytracer_tpu.ops.bvh4 import SORT_PAIRS
-
-        def vsortk(keys, codes):
-            kc = [keys[:, k:k + 1] for k in range(K)]
-            cc = [codes[:, k:k + 1] for k in range(K)]
-            for (i, j) in SORT_PAIRS[K]:
-                sw = kc[i] > kc[j]
-                kc[i], kc[j] = (jnp.where(sw, kc[j], kc[i]),
-                                jnp.where(sw, kc[i], kc[j]))
-                cc[i], cc[j] = (jnp.where(sw, cc[j], cc[i]),
-                                jnp.where(sw, cc[i], cc[j]))
-            return kc, cc
-
-        ki, ci = vsortk(k_int, ch8)   # internal children, near-first
-        kl, cl = vsortk(k_leaf, ch8)  # leaf children, near-first
-        n_int = (ki[0] < BIG).astype(jnp.int32)
-        n_leaf = (kl[0] < BIG).astype(jnp.int32)
-        for k in range(1, K):
-            n_int = n_int + (ki[k] < BIG).astype(jnp.int32)
-            n_leaf = n_leaf + (kl[k] < BIG).astype(jnp.int32)
-
-        # ---- PAIR-PACKED push prep (vector): both stacks store TWO
-        # 16-bit codes per 32-bit entry (ids < 2^16, asserted at pack
-        # time), halving the per-chain scalar stores+extracts that
-        # dominate the push phase (the cost that sank BVH8 in round 2).
-        # Deferred rank r (r=1..K-1) rides in pair (r-1)//2's low half
-        # (odd r) or high half (even r) — pair_i[pe] packs rank 2pe+1
-        # low / rank 2pe+2 high; missing ranks encode EMPTY16. Pop order is
-        # IDENTICAL to the one-code-per-entry scheme: low before high,
-        # near pairs above far pairs, and a per-chain one-entry SPARE
-        # register holds a popped entry's unconsumed high half. Any push
-        # while a spare is held re-stacks the spare beneath the new
-        # pairs first, so the spare is always the newest pending entry
-        # (LIFO preserved; traversal order bit-exact vs v6).
-        empty_col = jnp.full((P_SUB, 1), EMPTY16, jnp.int32)
-        ci_e = [jnp.where(ki[k] < BIG, ci[k], EMPTY16) for k in range(1, K)]
-        ci_e.append(empty_col)
-        cl_e = [jnp.where(kl[k] < BIG, -cl[k] - 2, EMPTY16)
-                for k in range(1, K)]
-        cl_e.append(empty_col)
+        # ---- Internal-unit phases (node fetch, slabs, ordering-key
+        # reductions, kind-split sorts, pair packing) — under ONE cond
+        # on any live internal unit (INT_COND; pure leaf-drain
+        # iterations skip everything and feed the decision phase the
+        # exact values it would have derived from all-NONE tasks).
         n_pairs = K // 2
-        pair_i = [jnp.bitwise_or(ci_e[2 * pe],
-                                 jnp.left_shift(ci_e[2 * pe + 1], 16))
-                  for pe in range(n_pairs)]
-        # Leaf pairs: the nearest leaf child feeds the row slot
-        # directly; pairs hold ranks 1..K-1.
         n_pairs_l = K // 2
-        pair_l = [jnp.bitwise_or(cl_e[2 * pe],
-                                 jnp.left_shift(cl_e[2 * pe + 1], 16))
-                  for pe in range(n_pairs_l)]
-        lA_col = -cl[0] - 2
+        empty_col = jnp.full((P_SUB, 1), EMPTY16, jnp.int32)
+        zero_col = jnp.zeros((P_SUB, 1), jnp.int32)
+        none_col = jnp.full((P_SUB, 1), NONE, jnp.int32)
+
+        def int_phases(tb):
+            if INT_COND:
+                nrec8 = jnp.concatenate(
+                    [node_ref[pl.ds(ntask_scalars[s], 1)][:, 0:7 * K]
+                     for s in range(P_SUB)], axis=0)             # (8,7K)
+            else:
+                nrec8 = nrec8_pre
+            ch8 = nrec8[:, 6 * K:7 * K].astype(jnp.int32)  # float-enc
+
+            def bcol(k, j):
+                c = k * 6 + j
+                return nrec8[:, c:c + 1]                         # (8,1)
+
+            hks, reps = [], []
+            for k in range(K):
+                hk, tk = slab(bcol(k, 0), bcol(k, 1), bcol(k, 2),
+                              bcol(k, 3), bcol(k, 4), bcol(k, 5), tb)
+                hks.append(hk)
+                # Ordering key: TRUE nearest entry-t over the sub-warp's
+                # hitting lanes (lane-axis min reduction) — the single
+                # largest traversal lever found in round 3 (order_study:
+                # lane-0 keys cost 105.4 packet-lockstep iterations vs
+                # 65.4 with the true key on bvh8 bounce rays).
+                reps.append(jnp.min(jnp.where(hk, tk, BIG), axis=1,
+                                    keepdims=True))              # (8,1)
+            # Only cross-lane work: K/2 LANE-axis reductions of
+            # bit-packed per-child hit counts (each count ≤ 128).
+            packs = [jnp.sum(hks[i].astype(jnp.int32)
+                             + (hks[i + 1].astype(jnp.int32) << 16),
+                             axis=1, keepdims=True)              # (8,1)
+                     for i in range(0, K, 2)]
+
+            # Vector decision prep: hit masks, entry keys, and the two
+            # kind-split sort networks run on (8,K) tiles — one
+            # instruction stream orders the children of all 8 chains at
+            # once. Empty slots carry (+inf,-inf) boxes, which the
+            # UNORDERED slab reads as tmin=-inf → "hit"; gate with ids.
+            anyk_cols = []
+            for p2 in packs:
+                anyk_cols.extend([p2 & 0xFFFF, p2 >> 16])
+            anyk = jnp.concatenate(anyk_cols, axis=1) > 0
+            valid = anyk & (ch8 != NONE)                         # (8,K)
+            rep4 = jnp.concatenate(reps, axis=1)                 # (8,K)
+            is_leaf4 = ch8 <= -2
+            k_int = jnp.where(valid & ~is_leaf4, rep4, BIG)
+            k_leaf = jnp.where(valid & is_leaf4, rep4, BIG)
+
+            from raytracer_tpu.ops.bvh4 import SORT_PAIRS
+
+            def vsortk(keys, codes):
+                kc = [keys[:, k:k + 1] for k in range(K)]
+                cc = [codes[:, k:k + 1] for k in range(K)]
+                for (i, j) in SORT_PAIRS[K]:
+                    sw = kc[i] > kc[j]
+                    kc[i], kc[j] = (jnp.where(sw, kc[j], kc[i]),
+                                    jnp.where(sw, kc[i], kc[j]))
+                    cc[i], cc[j] = (jnp.where(sw, cc[j], cc[i]),
+                                    jnp.where(sw, cc[i], cc[j]))
+                return kc, cc
+
+            ki, ci = vsortk(k_int, ch8)   # internal children, near-first
+            kl, cl = vsortk(k_leaf, ch8)  # leaf children, near-first
+            n_int = (ki[0] < BIG).astype(jnp.int32)
+            n_leaf = (kl[0] < BIG).astype(jnp.int32)
+            for k in range(1, K):
+                n_int = n_int + (ki[k] < BIG).astype(jnp.int32)
+                n_leaf = n_leaf + (kl[k] < BIG).astype(jnp.int32)
+
+            # PAIR-PACKED push prep (vector): both stacks store TWO
+            # 16-bit codes per 32-bit entry (ids < 2^16, asserted at
+            # pack time). Deferred rank r (r=1..K-1) rides in pair
+            # (r-1)//2's low half (odd r) or high half (even r);
+            # missing ranks encode EMPTY16. Pop order is IDENTICAL to
+            # the one-code-per-entry scheme (see the spare-register
+            # discipline in the decision phase below).
+            ci_e = [jnp.where(ki[k] < BIG, ci[k], EMPTY16)
+                    for k in range(1, K)]
+            ci_e.append(empty_col)
+            cl_e = [jnp.where(kl[k] < BIG, -cl[k] - 2, EMPTY16)
+                    for k in range(1, K)]
+            cl_e.append(empty_col)
+            pair_i = [jnp.bitwise_or(ci_e[2 * pe],
+                                     jnp.left_shift(ci_e[2 * pe + 1], 16))
+                      for pe in range(n_pairs)]
+            # Leaf pairs: the nearest leaf child feeds the row slot
+            # directly; pairs hold ranks 1..K-1.
+            pair_l = [jnp.bitwise_or(cl_e[2 * pe],
+                                     jnp.left_shift(cl_e[2 * pe + 1], 16))
+                      for pe in range(n_pairs_l)]
+            lA = -cl[0] - 2
+            return (n_int, n_leaf, ci[0], lA) + tuple(pair_i) + tuple(pair_l)
+
+        def int_idle(tb):
+            return ((zero_col, zero_col, none_col, none_col)
+                    + (empty_col,) * (n_pairs + n_pairs_l))
+
+        if INT_COND:
+            dec = jax.lax.cond(any_int > 0, int_phases, int_idle, t_best)
+        else:
+            dec = int_phases(t_best)
+        n_int, n_leaf, ci0_col, lA_col = dec[:4]
+        pair_i = list(dec[4:4 + n_pairs])
+        pair_l = list(dec[4 + n_pairs:4 + n_pairs + n_pairs_l])
 
         def low16(x):
             return jnp.bitwise_and(x, EMPTY16)
@@ -617,7 +666,7 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
                 pos = jnp.where(pe < ne, sp_eff + (ne - 1 - pe), -1)
                 S_i = jnp.where(lane_i == pos, pair_i[pe], S_i)
             new_sp = jnp.minimum(sp_eff + ne, stack_cap - 4)
-            desc = jnp.where(nh_i > 0, ci[0], NONE)
+            desc = jnp.where(nh_i > 0, ci0_col, NONE)
             spare1 = jnp.where(spare_push, SPARE_NONE, ispareC)
             has_spare1 = has_spare & ~spare_push
             live = ~stallC & (desc == NONE) & (ntaskC != NONE)
@@ -705,7 +754,7 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
             # out-of-bounds SMEM write, which faults the whole device
             # under the 2026-08-18 runtime (kernel_morph.py v11).
             new_sp = jnp.minimum(sp_eff + ne, stack_cap - 4)
-            desc = jnp.where(nh_i > 0, ci[0][s, 0], NONE)
+            desc = jnp.where(nh_i > 0, ci0_col[s, 0], NONE)
             spare1 = jnp.where(spare_push, SPARE_NONE, spare)
             has_spare1 = has_spare & ~spare_push
             use_spare = ~stall & (desc == NONE) & has_spare1 & (nt != NONE)
@@ -778,7 +827,19 @@ def traverse_tile(t_min, stack_cap, zero_row, max_iters, n_children,
             f"{stack_cap} exceeds it (set RAYTRACER_TPU_VSTACK=0)")
         init.extend([ntask0, zero_col_i, spare0, stk0,
                      ltask0, zero_col_i, spare0, stk0])
-    out = jax.lax.while_loop(cond, body, tuple(init))
+    # UNROLL: run N traversal bodies per while iteration, paying the
+    # loop machinery (cond eval + carry plumbing + branch) once per N.
+    # Output-exact: a body run on a drained state is a no-op (NONE
+    # tasks gate every push/pop/descend; idle leaf slots read the
+    # degenerate zero row, whose records self-reject), so overshooting
+    # the drain point by up to N-1 bodies changes nothing.
+    loop_body = body
+    if UNROLL > 1:
+        def loop_body(carry):
+            for _ in range(UNROLL):
+                carry = body(carry)
+            return carry
+    out = jax.lax.while_loop(cond, loop_body, tuple(init))
     if profile:
         return (out[2], out[3], out[4], out[5], out[6], out[7], out[8],
                 jnp.int32(max_iters) - out[0])
