@@ -29,6 +29,10 @@ from raytracer_tpu.render import render_pixels
 from raytracer_tpu.scene.types import Materials, Scene
 
 DEFAULT_FIELDS = ("albedo", "roughness", "emission", "ior")
+# Camera-pose entries a params dict may carry alongside material fields
+# (BASELINE north star: gradients w.r.t. "camera params"). Applied via
+# _apply_cam; material appliers ignore them.
+CAM_FIELDS = ("cam_position", "cam_yaw", "cam_pitch", "cam_fov")
 
 
 class AdamState(NamedTuple):
@@ -41,6 +45,8 @@ def _apply_params(scene: Scene, params: dict) -> Scene:
     mats = scene.materials
     kw = {f: mats.__dict__[f] for f in ("type", "albedo", "emission", "roughness", "ior")}
     for name, val in params.items():
+        if name in CAM_FIELDS:
+            continue
         if name in ("albedo",):
             val = jnp.clip(val, 0.0, 1.0)
         if name in ("roughness",):
@@ -51,6 +57,26 @@ def _apply_params(scene: Scene, params: dict) -> Scene:
             val = jnp.clip(val, 1.0, 3.0)
         kw[name] = val
     return scene.replace(materials=Materials(**kw))
+
+
+def _apply_cam(cam: Camera, params: dict) -> Camera:
+    """Rebuild the camera from any CAM_FIELDS present in params. The
+    derived focus distance stays at the base camera's value — with the
+    showcase aperture ~0 the lens offset vanishes and focus_dist only
+    scales the (unnormalized) ray directions, so it is not an
+    identifiable pose parameter."""
+    import dataclasses
+
+    kw = {}
+    if "cam_position" in params:
+        kw["position"] = params["cam_position"]
+    if "cam_yaw" in params:
+        kw["yaw"] = params["cam_yaw"]
+    if "cam_pitch" in params:
+        kw["pitch"] = params["cam_pitch"]
+    if "cam_fov" in params:
+        kw["fov_degrees"] = params["cam_fov"]
+    return dataclasses.replace(cam, **kw) if kw else cam
 
 
 def apply_domains(params: dict, reflect: bool = False) -> dict:
@@ -111,16 +137,25 @@ def cosine_lr(lr0: float, total_steps: int, lr_min_frac: float = 0.1):
     return fn
 
 
-def adam_update(state: AdamState, grads: dict, params: dict, lr=2e-2, b1=0.9, b2=0.999, eps=1e-8):
+def adam_update(state: AdamState, grads: dict, params: dict, lr=2e-2, b1=0.9, b2=0.999, eps=1e-8,
+                lr_scales: dict | None = None):
+    """Adam. `lr_scales` maps a param NAME to a multiplier on lr for
+    that field — needed when one dict mixes fields whose natural units
+    differ by orders of magnitude (Adam's per-parameter normalization
+    makes every field step ~lr in ITS OWN units: 0.03 is right for a
+    [0,1] albedo, ~10x too big for a world-space camera position in a
+    0.6-unit box, and ~3x too small for a yaw in degrees)."""
     step = state.step + 1
     mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
     nu = jax.tree_util.tree_map(lambda n, g: b2 * n + (1 - b2) * g * g, state.nu, grads)
     t = step.astype(jnp.float32)
     mhat = jax.tree_util.tree_map(lambda m: m / (1 - b1**t), mu)
     nhat = jax.tree_util.tree_map(lambda n: n / (1 - b2**t), nu)
-    new_params = jax.tree_util.tree_map(
-        lambda p, m, n: p - lr * m / (jnp.sqrt(n) + eps), params, mhat, nhat
-    )
+    scale = {k: (lr_scales or {}).get(k, 1.0) for k in params}
+    new_params = {
+        k: params[k] - lr * scale[k] * mhat[k] / (jnp.sqrt(nhat[k]) + eps)
+        for k in params
+    }
     return AdamState(step=step, mu=mu, nu=nu), new_params
 
 
@@ -132,6 +167,7 @@ def make_train_step_multi(
     keys: jax.Array,       # [K] key array, keys[j] rendered targets[j]
     lr: float = 2e-2,
     lr_fn=None,
+    lr_scales: dict | None = None,
 ):
     """Jitted Adam step whose gradient AVERAGES over K matched
     (key, target) pairs per step (vmap over the sample axis), instead of
@@ -149,7 +185,7 @@ def make_train_step_multi(
 
     def pair_loss(params, key, tgt):
         scene = _apply_params(base_scene, params)
-        rgb = render_pixels(scene, cam, xs, ys, cfg, key)
+        rgb = render_pixels(scene, _apply_cam(cam, params), xs, ys, cfg, key)
         return jnp.mean(jnp.sum((rgb - tgt) ** 2, axis=-1)) / 3.0
 
     def loss_fn(params):
@@ -160,7 +196,8 @@ def make_train_step_multi(
     def train_step(params, adam_state, _key_unused=None):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         cur_lr = lr_fn(adam_state.step) if lr_fn is not None else lr
-        adam_state, params = adam_update(adam_state, grads, params, lr=cur_lr)
+        adam_state, params = adam_update(adam_state, grads, params, lr=cur_lr,
+                                         lr_scales=lr_scales)
         return params, adam_state, loss
 
     return train_step
@@ -187,7 +224,7 @@ def make_train_step(
 
     def local_loss(params, key, px, py, tgt, weight=None):
         scene = _apply_params(base_scene, params)
-        rgb = render_pixels(scene, cam, px, py, cfg, key)
+        rgb = render_pixels(scene, _apply_cam(cam, params), px, py, cfg, key)
         sq = jnp.sum((rgb - tgt) ** 2, axis=-1)
         if weight is None:
             return jnp.mean(sq) / 3.0

@@ -295,3 +295,42 @@ def test_train_step_multi_reduces_loss(scene):
         params, state, loss = step(params, state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.6, losses
+
+
+def test_joint_camera_pose_step_and_lr_scales(scene):
+    """Round-5 joint pose+material machinery (diff/inverse._apply_cam,
+    adam_update lr_scales): camera params in the SAME dict as material
+    fields get gradients and move; a field with lr scale 0 must not
+    move; loss decreases from a pose-perturbed init."""
+    from raytracer_tpu.diff import inverse
+
+    cfg = RenderConfig(width=16, height=8, spp=2, max_bounces=2,
+                       reference_emission_quirk=False)
+    cam = _cam(cfg)
+    keys = jax.random.split(jax.random.key(5), 2)
+    targets = jnp.stack([render_image(scene, cam, cfg, k) for k in keys])
+
+    params = inverse.init_params(scene, fields=("albedo",),
+                                 key=jax.random.key(6), noise=0.1)
+    params["cam_yaw"] = cam.yaw + 1.5
+    params["cam_pitch"] = cam.pitch - 1.0
+    params["cam_position"] = cam.position + jnp.asarray([0.01, 0.0, -0.01])
+
+    state = inverse.adam_init(params)
+    step = inverse.make_train_step_multi(
+        scene, cam, cfg, targets, keys, lr=0.02,
+        lr_scales={"cam_yaw": 2.0, "cam_pitch": 0.0, "cam_position": 0.3})
+    yaw0, pitch0 = float(params["cam_yaw"]), float(params["cam_pitch"])
+    losses = []
+    for _ in range(8):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    # At this toy resolution the pose landscape is rugged; assert descent
+    # happens (best < first), not monotone convergence — the production
+    # settings are validated in scripts/inverse_tpu_r05.py.
+    assert min(losses) < losses[0], losses
+    # lr scale 0 freezes the field exactly; scaled fields move.
+    assert float(params["cam_pitch"]) == pitch0
+    assert float(params["cam_yaw"]) != yaw0
+    assert float(jnp.abs(params["cam_position"] - cam.position -
+                         jnp.asarray([0.01, 0.0, -0.01])).max()) > 0
