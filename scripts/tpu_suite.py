@@ -260,6 +260,27 @@ def case_sharded_mesh1():
     return {"ok": d == 0.0, "max_abs_diff": d, "bit_identical": d == 0.0}
 
 
+def case_interleave_g2():
+    """G=2 merged path loops (the quarantined ops/pallas_interleave
+    experiment, default-off): chain decisions depend only on chain
+    state, so per-packet results must equal the G=1 kernel EXACTLY —
+    here verified with the REAL Mosaic compilation, not interpret mode
+    (tests/test_fused_megakernel.py:141 covers CPU)."""
+    import numpy as np
+
+    from raytracer_tpu.models.wavefront import _tiled_pixel_grid
+    from raytracer_tpu.ops.pallas_megakernel import render_tiles_fused
+
+    scene, cfg, cam, key = _setup(width=128, height=64)
+    px, py, _ = _tiled_pixel_grid(cfg)
+    a = np.asarray(render_tiles_fused(scene, cam, cfg, key, px, py,
+                                      spp=cfg.spp, interleave=1))
+    b = np.asarray(render_tiles_fused(scene, cam, cfg, key, px, py,
+                                      spp=cfg.spp, interleave=2))
+    d = float(np.max(np.abs(a - b)))
+    return {"ok": d == 0.0, "max_abs_diff": d, "bit_identical": d == 0.0}
+
+
 def _env_variant_case():
     """Fused preflight render under an import-time kernel flag; the
     DRIVER compares the hash against case_fused_known_answer (all these
@@ -287,6 +308,7 @@ CASES = {
     "spp_split_accumulation": (case_spp_split_equality, {}, False),
     "resumable_fused": (case_resumable_equality, {}, False),
     "sharded_fused_mesh1": (case_sharded_mesh1, {}, False),
+    "interleave_g2": (case_interleave_g2, {}, False),
     "leaf_cond_off": (_env_variant_case, {"RAYTRACER_TPU_LEAF_COND": "0"}, True),
     "vstack_on": (_env_variant_case, {"RAYTRACER_TPU_VSTACK": "1"}, True),
     "unroll2": (_env_variant_case, {"RAYTRACER_TPU_UNROLL": "2"}, True),
