@@ -153,7 +153,9 @@ def adam_update(state: AdamState, grads: dict, params: dict, lr=2e-2, b1=0.9, b2
     nhat = jax.tree_util.tree_map(lambda n: n / (1 - b2**t), nu)
     scale = {k: (lr_scales or {}).get(k, 1.0) for k in params}
     new_params = {
-        k: params[k] - lr * scale[k] * mhat[k] / (jnp.sqrt(nhat[k]) + eps)
+        k: jax.tree_util.tree_map(
+            lambda p, m, n, s=scale[k]: p - lr * s * m / (jnp.sqrt(n) + eps),
+            params[k], mhat[k], nhat[k])
         for k in params
     }
     return AdamState(step=step, mu=mu, nu=nu), new_params
@@ -210,6 +212,7 @@ def make_train_step(
     target: jnp.ndarray,  # f32[H,W,3] linear target image
     mesh=None,
     lr: float = 2e-2,
+    lr_scales: dict | None = None,
 ):
     """Returns a jitted train_step: train_step(params, adam_state, key)
     → (params, adam_state, loss). Initialize optimizer state separately
@@ -240,7 +243,8 @@ def make_train_step(
         @jax.jit
         def train_step(params, adam_state, key):
             loss, grads = jax.value_and_grad(local_loss)(params, key, px, py, tgt)
-            adam_state, params = adam_update(adam_state, grads, params, lr=lr)
+            adam_state, params = adam_update(adam_state, grads, params, lr=lr,
+                                             lr_scales=lr_scales)
             return params, adam_state, loss
 
         return train_step
@@ -280,7 +284,8 @@ def make_train_step(
     @jax.jit
     def train_step(params, adam_state, key):
         loss, grads = sharded_grads(params, key, px, py, tgt, w)
-        adam_state, params = adam_update(adam_state, grads, params, lr=lr)
+        adam_state, params = adam_update(adam_state, grads, params, lr=lr,
+                                             lr_scales=lr_scales)
         return params, adam_state, loss
 
     return train_step

@@ -157,10 +157,14 @@ def main():
              "cpu_mesh_caveat: the OS scheduler already balances virtual "
              "shards, so only the ~4% overhead is visible); ")
             + "the NULL experiment closes the r3 done-bar question: the "
-              "max/mean floor of EQUAL-MIX stripes spans "
-              "1.11-1.30 (mean ~1.21) across keys, so the observed r4 "
-              "value 1.21 IS the statistical floor — a <=1.1 target is "
-              "unreachable by ANY balancer at this stripe granularity. "
+              f"max/mean floor of EQUAL-MIX stripes spans "
+              f"{min(moms):.2f}-{max(moms):.2f} (mean ~{np.mean(moms):.2f}) "
+              "across keys"
+            + (", so the observed r4 value 1.21 IS the statistical floor"
+               if min(moms) <= 1.21 <= max(moms) else "")
+            + f" — a <=1.1 target is "
+              f"{'unreachable' if min(moms) > 1.1 else 'reachable'} by ANY "
+              "balancer at this stripe granularity. "
               "DEFAULT recorded: interleave on, rebalance OFF (the "
               "production sharded paths already do this); enable rebalance "
               "only for skewed/non-interleavable assignments on real "

@@ -9,14 +9,16 @@ change: the rough-metal sphere moves from (0.1,-0.23,0.12) to
 Cornell short box from every interior framing (0 pixels affected in a
 48x48 shrink probe), so its roughness would have no gradient by
 visibility, not by estimator. Truth MATERIALS are untouched. Framing:
-the interior camera tilted to pitch -20 so the floor spheres are well
-inside the frustum (glass 262 px, metal 102 px, ior-sensitive 111 px
-at 48x48 in the CPU probe).
+a LOW, WIDE interior camera (fov 110, (0,-0.05,0.29), pitch -10) that
+holds the ceiling light (77 px), the glass sphere (214 px), and the
+rough metal (51 px) in one 48x48 CPU probe — the light must be IN
+frame to pin the global illumination scale (see the cfg comment in
+main()).
 
 Optimized jointly from CRN targets (loss == 0 exactly at the truth):
   * materials: albedo, roughness, emission, IOR (noise 0.15)
-  * camera:    position (+[0.02,-0.015,0.025]), yaw (+2.0 deg),
-               pitch (-1.5 deg)
+  * camera:    position (+[0.015,-0.01,0.02]), yaw (+1.0 deg),
+               pitch (-0.75 deg)  — see TRUE_CAM_PERTURB
 Gradients: detached-traversal shading grads + the edge-aware
 (control-variate smoothed light boundary) visibility term, which is
 what gives camera/IOR/roughness their discontinuity gradients

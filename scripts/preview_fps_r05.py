@@ -10,8 +10,9 @@ mb4 navigation preview, camera as a jit argument):
               per-frame device time with dispatch pipelining, no
               per-frame host fetch;
   fetch     : per-frame host fetch (np.asarray) of an ALREADY-computed
-              RGBA8 frame — the pure device->host display cost, plus a
-              4-byte scalar fetch for the base tunnel latency;
+              RGBA8 frame — the pure device->host display cost — plus a
+              synchronous 4-byte scalar dispatch+fetch ping for the
+              payload-independent tunnel latency;
   loop      : the real double-buffered flight loop (dispatch frame i+1,
               then fetch frame i) with the reference's WASD/mouse
               semantics — the honest FPS.
@@ -86,9 +87,19 @@ def measure(scene, width, height, frames):
     # DISTINCT output buffers each iteration: jax.Array caches its host
     # copy, so re-fetching one buffer would time a no-op after the
     # first transfer.
+    @jax.jit
+    def checksum(b):
+        return jnp.sum(b, dtype=jnp.int32)
+
     def fetch_run():
         bufs = [frame_dev(cam) for _ in range(frames)]
-        jax.block_until_ready(bufs)
+        # Fetch a scalar REDUCTION of every buffer before the timer:
+        # the data dependency guarantees each frame's compute has
+        # finished (CLAUDE.md: block_until_ready has returned before
+        # execution on this backend), so the timed np.asarray below is
+        # pure device->host transfer.
+        for b in bufs:
+            int(checksum(b))
         t0 = time.perf_counter()
         for b in bufs:
             np.asarray(b)

@@ -3,7 +3,7 @@
 The pytest suite runs interpret-mode on the virtual CPU mesh by design
 (tests/conftest.py; the single tunneled chip is wedge-prone and only one
 process may use it). The bench preflight covers exactly ONE on-chip
-configuration. This script is the missing complement: ~11 known-answer
+configuration. This script is the missing complement: 12 known-answer
 / variant-equality cases run ON THE REAL CHIP, one subprocess per case
 (a device fault kills only that case's process, like bench.py), results
 recorded in TPU_SUITE_r05.json.
@@ -316,7 +316,12 @@ CASES = {
 
 
 def worker(name: str) -> int:
-    fn, _env, _claim = CASES[name]
+    fn, env, _claim = CASES[name]
+    # Apply the case's env overrides here too (not only in the driver's
+    # subprocess env), so running a single case standalone tests the
+    # intended variant: the kernel flags are read at raytracer_tpu
+    # import time, which happens inside fn via _setup.
+    os.environ.update(env)
     res = fn()
     res["name"] = name
     print(json.dumps(res))
