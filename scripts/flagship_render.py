@@ -83,7 +83,7 @@ def main():
                 "resumable; wall_s_this_run excludes any prior resumed "
                 "batches",
     }
-    with open("FLAGSHIP_r04.json", "w") as f:
+    with open(os.environ.get("FLAGSHIP_OUT", "FLAGSHIP_r05.json"), "w") as f:
         json.dump(stats, f, indent=1)
     print(json.dumps(stats))
 
