@@ -148,10 +148,18 @@ def main():
 
     err0, cerr0 = field_errors(scene, params), cam_errors(cam, params)
     state = inverse.adam_init(params)
-    step = inverse.make_train_step_multi(
-        scene, cam, cfg, targets, keys, lr=lr,
-        lr_fn=inverse.cosine_lr(lr, steps, lr_min_frac=0.05),
-        lr_scales=LR_SCALES)
+    if n_keys > 8:
+        # vmap(K) gradient graphs above K=8 exceed HBM at this config
+        # (K=16 measured 27.6 GB vs 15.75); accumulate over K/8 chunks.
+        step = inverse.make_train_step_accum(
+            scene, cam, cfg, targets, keys, chunk=8, lr=lr,
+            lr_fn=inverse.cosine_lr(lr, steps, lr_min_frac=0.05),
+            lr_scales=LR_SCALES)
+    else:
+        step = inverse.make_train_step_multi(
+            scene, cam, cfg, targets, keys, lr=lr,
+            lr_fn=inverse.cosine_lr(lr, steps, lr_min_frac=0.05),
+            lr_scales=LR_SCALES)
 
     losses = []
     step_times = []
